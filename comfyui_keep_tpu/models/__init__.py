@@ -1,0 +1,10 @@
+"""Architecture namespaces. Importing this package registers every arch in
+ARCH_REGISTRY (reference behavior: wm_basicsr/archs/__init__.py:12-24 imports
+all *_arch.py files)."""
+from comfyui_keep_tpu.utils.registry import ARCH_REGISTRY
+
+from comfyui_keep_tpu.models import vqgan  # noqa: F401
+
+
+def build_network(name: str):
+    return ARCH_REGISTRY.get(name)
