@@ -1,0 +1,51 @@
+#!/usr/bin/env python
+"""Benchmark: restored 512x512 faces/sec on one TPU chip.
+
+Config 3 of BASELINE.md: a 20-frame clip through the full KEEP network
+(cross-frame Kalman propagation, CFT+CFA fusion). Prints one JSON line.
+Baseline target: 60 faces/sec (driver BASELINE.json; the reference publishes
+no numbers — keep_arch.py:1194-1204 is a harness only).
+
+KEEP_TPU_BENCH_DTYPE=f32 switches off bfloat16 compute.
+"""
+import json
+import os
+import time
+
+import numpy as np
+
+
+def main():
+    import jax
+    import jax.numpy as jnp
+    from comfyui_keep_tpu.models.keep import KEEP
+
+    dtype = jnp.float32 if os.environ.get("KEEP_TPU_BENCH_DTYPE") == "f32" else jnp.bfloat16
+    cfg = KEEP.config("KEEP")
+    params = KEEP.init(jax.random.PRNGKey(0), **cfg)
+    params = jax.tree.map(lambda a: a.astype(dtype), params)
+    b, t = 1, 20
+    x = (jax.random.normal(jax.random.PRNGKey(1), (b, t, 512, 512, 3)) * 0.3).astype(dtype)
+
+    fn = jax.jit(lambda p, x: KEEP.apply(p, x, remat=False, **cfg))
+    out = fn(params, x)
+    np.asarray(out[0, -1, 0, 0, 0])  # force full execution (tunnel-safe)
+
+    iters = 3
+    start = time.perf_counter()
+    for _ in range(iters):
+        out = fn(params, x)
+        np.asarray(out[0, -1, 0, 0, 0])
+    elapsed = time.perf_counter() - start
+
+    faces_per_sec = b * t * iters / elapsed
+    print(json.dumps({
+        "metric": "restored 512x512 faces/sec/chip (20-frame clip, KEEP full fwd)",
+        "value": round(faces_per_sec, 3),
+        "unit": "faces/sec",
+        "vs_baseline": round(faces_per_sec / 60.0, 4),
+    }))
+
+
+if __name__ == "__main__":
+    main()

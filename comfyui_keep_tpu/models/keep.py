@@ -1,0 +1,384 @@
+"""KEEP: Kalman-inspired feature propagation for video face SR.
+
+TPU-native rebuild of reference keep_arch.py:860-1145. Key structural
+differences from the torch original (behavior preserved):
+
+  * The per-frame python loop (keep_arch.py:1062-1127) becomes frame-0
+    unrolled + `jax.lax.scan` over frames 1..T-1 — the only true sequential
+    dependency is prev_out -> flow_warp -> hq_encoder -> Kalman update.
+  * Everything outside the recurrence (LQ encoder, Kalman gain, CFT skip
+    taps, optical flow) is batched over (B*T) frames in one XLA program.
+  * Feature maps are NHWC; token tensors (B, L, C).
+  * enc skips / flows / prev_out are gradient-stopped exactly where the
+    reference detaches (keep_arch.py:1026, :1039, :1067, :1091-1096).
+
+Weight layout matches the converted reference checkpoint
+(KEEP-b76feb75.pth after utils/checkpoint.py conversion, including the
+legacy cross_fuse→cfa / fuse_convs_dict→cft remap).
+"""
+from typing import Dict, Optional, Sequence
+
+import jax
+import jax.numpy as jnp
+
+from comfyui_keep_tpu.ops import (
+    conv2d, conv2d_init, group_norm, layer_norm, linear, linear_init,
+    resize_bilinear, flow_warp,
+)
+from comfyui_keep_tpu.models.vqgan import (
+    blocks_apply, blocks_init, encoder_plan, generator_plan, res_block,
+    vq_init, vq_lookup, _block_init, GN_EPS,
+)
+from comfyui_keep_tpu.models import layers as L
+from comfyui_keep_tpu.ops.norm import layer_norm_init
+from comfyui_keep_tpu.utils.registry import ARCH_REGISTRY
+
+# Per-resolution generator channel table (keep_arch.py:940-947) and flat
+# block tap indices (keep_arch.py:950-954) for the canonical 512 config.
+# Unlike the reference (which hardcodes them), arch_tables() derives them
+# from any config; these constants remain as the parity assertion target.
+CHANNELS = {"16": 512, "32": 256, "64": 256, "128": 128, "256": 128, "512": 64}
+FUSE_ENCODER_BLOCK = {"512": 2, "256": 5, "128": 8, "64": 11, "32": 14, "16": 18}
+FUSE_GENERATOR_BLOCK = {"16": 6, "32": 9, "64": 12, "128": 15, "256": 18, "512": 21}
+
+
+def arch_tables(cfg):
+    """Derive (channels, fuse_encoder_block, fuse_generator_block) tables from
+    the VQGAN config by walking the block plans.
+
+    Encoder taps: after the LAST ResBlock of each resolution level
+    ("after second residual block for >16, before attn layer for ==16",
+    keep_arch.py:949-951). Generator taps: after the FIRST ResBlock of each
+    upsampled level, and after the LAST ResBlock of the initial (latent)
+    level (keep_arch.py:952-954). Matches the reference tables for the 512
+    config (asserted in tests)."""
+    nf, ch_mult, nrb = cfg["nf"], cfg["ch_mult"], cfg["res_blocks"]
+    img, attn_res = cfg["img_size"], cfg["attn_resolutions"]
+    channels, enc_tap, gen_tap = {}, {}, {}
+
+    # encoder walk (mirrors encoder_plan ordering)
+    idx = 0  # init conv
+    curr = img
+    for i in range(len(ch_mult)):
+        for b in range(nrb):
+            idx += 1
+            enc_tap[str(curr)] = idx
+            channels[str(curr)] = nf * ch_mult[i]
+            if curr in attn_res:
+                idx += 1
+        if i != len(ch_mult) - 1:
+            idx += 1  # down
+            curr //= 2
+
+    # generator walk (mirrors generator_plan ordering)
+    idx = 3  # init conv, res, attn, res
+    curr = img // 2 ** (len(ch_mult) - 1)
+    for i in reversed(range(len(ch_mult))):
+        first_level = i == len(ch_mult) - 1
+        for b in range(nrb):
+            idx += 1
+            if (first_level and b == nrb - 1) or (not first_level and b == 0):
+                gen_tap[str(curr)] = idx
+            if curr in attn_res:
+                idx += 1
+        if i != 0:
+            idx += 1  # up
+            curr *= 2
+    return channels, enc_tap, gen_tap
+
+DEFAULT_CFG = dict(
+    img_size=512, nf=64, ch_mult=(1, 2, 2, 4, 4, 8), res_blocks=2,
+    attn_resolutions=(16,), codebook_size=1024, emb_dim=256, beta=0.25,
+    dim_embd=512, n_head=8, n_layers=9, latent_size=256,
+    cft_list=("16", "32", "64"), cfa_list=("16", "32"), cfa_nhead=4,
+    cfa_dim=256, kalman_attn_head_dim=48, num_uncertainty_layers=3,
+    cond=1, cross_residual=True, temp_reg_list=("32",), mask_ratio=0.0,
+)
+
+# Model-zoo variants (reference modules/utils.py:41-90)
+VARIANTS = {
+    "KEEP": dict(DEFAULT_CFG),
+    "Asian": dict(DEFAULT_CFG, cft_list=("32", "64", "128", "256"),
+                  temp_reg_list=()),
+}
+
+
+def _plans(cfg):
+    enc = encoder_plan(3, cfg["nf"], cfg["emb_dim"], cfg["ch_mult"],
+                       cfg["res_blocks"], cfg["img_size"], cfg["attn_resolutions"])
+    gen = generator_plan(cfg["nf"], cfg["emb_dim"], cfg["ch_mult"],
+                         cfg["res_blocks"], cfg["img_size"], cfg["attn_resolutions"])
+    return enc, gen
+
+
+# ---------------------------------------------------------------------------
+# Kalman filter (keep_arch.py:751-821)
+# ---------------------------------------------------------------------------
+
+def kalman_filter_init(key, emb_dim: int, n_head: int, head_dim: int, n_layers: int):
+    ks = jax.random.split(key, n_layers + 4)
+    return {
+        "uncertainty_estimator": [
+            L.basic_transformer_block_init(ks[i], emb_dim, n_head, head_dim)
+            for i in range(n_layers)],
+        "kalman_gain_calculator": [
+            _block_init(ks[n_layers], ("res", emb_dim, emb_dim)),
+            _block_init(ks[n_layers + 1], ("res", emb_dim, emb_dim)),
+            _block_init(ks[n_layers + 2], ("res", emb_dim, emb_dim)),
+            conv2d_init(ks[n_layers + 3], 1, 1, emb_dim, 1),
+        ],
+    }
+
+
+def kalman_calc_gain(p, z_codes, *, n_head: int):
+    """z_codes: (B, T, h, w, C) -> gains (B, T, h, w, 1) in [0,1]."""
+    b, t, h, w, c = z_codes.shape
+    x = z_codes.reshape(b * t, h * w, c)
+    for blk in p["uncertainty_estimator"]:
+        x = L.basic_transformer_block(blk, x, video_length=t, heads=n_head)
+    x = x.reshape(b * t, h, w, c)
+    g = p["kalman_gain_calculator"]
+    x = res_block(g[0], x)
+    x = res_block(g[1], x)
+    x = res_block(g[2], x)
+    x = conv2d(x, g[3]["w"], g[3]["b"])
+    x = jax.nn.sigmoid(x)
+    return x.reshape(b, t, h, w, 1)
+
+
+# ---------------------------------------------------------------------------
+# KEEP arch
+# ---------------------------------------------------------------------------
+
+@ARCH_REGISTRY.register(name="KEEP")
+class KEEP:
+    make_plans = staticmethod(_plans)
+
+    @staticmethod
+    def config(variant: str = "KEEP", **overrides):
+        cfg = dict(VARIANTS[variant])
+        cfg.update(overrides)
+        return cfg
+
+    @staticmethod
+    def init(key, **cfg):
+        cfg = {**DEFAULT_CFG, **cfg}
+        enc_plan, gen_plan = _plans(cfg)
+        channels, _, _ = arch_tables(cfg)
+        ks = jax.random.split(key, 12)
+        params = {
+            "encoder": blocks_init(ks[0], enc_plan),
+            "hq_encoder": blocks_init(ks[1], enc_plan),
+            "generator": blocks_init(ks[2], gen_plan),
+            "quantize": vq_init(ks[3], cfg["codebook_size"], cfg["emb_dim"]),
+            "kalman_filter": kalman_filter_init(
+                ks[4], cfg["emb_dim"], cfg["n_head"], cfg["kalman_attn_head_dim"],
+                cfg["num_uncertainty_layers"]),
+            "position_emb": jnp.zeros((cfg["latent_size"], cfg["dim_embd"])),
+            "feat_emb": linear_init(ks[5], cfg["emb_dim"], cfg["dim_embd"]),
+            "ft_layers": [
+                L.transformer_sa_layer_init(k, cfg["dim_embd"], cfg["dim_embd"] * 2)
+                for k in jax.random.split(ks[6], cfg["n_layers"])],
+            "idx_pred_layer": [
+                layer_norm_init(cfg["dim_embd"]),
+                {"w": jax.random.normal(ks[7], (cfg["dim_embd"], cfg["codebook_size"])) * 0.02},
+            ],
+            "cfa": {f: L.cfa_init(k, channels[f], cfg["cfa_nhead"], cfg["cfa_dim"])
+                    for f, k in zip(cfg["cfa_list"],
+                                    jax.random.split(ks[8], max(1, len(cfg["cfa_list"]))))},
+            "cft": {f: L.cft_init(k, channels[f], channels[f])
+                    for f, k in zip(cfg["cft_list"],
+                                    jax.random.split(ks[9], max(1, len(cfg["cft_list"]))))},
+        }
+        return params
+
+    # -- forward pieces -----------------------------------------------------
+
+    @staticmethod
+    def _tokens_to_code(params, cfg, z_hat):
+        """Latent (B, h, w, C) -> (quant_feat, logits, query_emb tokens)."""
+        b, h, w, c = z_hat.shape
+        tokens = z_hat.reshape(b, h * w, c)
+        q = linear(tokens, params["feat_emb"]["w"], params["feat_emb"]["b"])
+        pos = params["position_emb"]
+        for lp in params["ft_layers"]:
+            q = L.transformer_sa_layer(lp, q, query_pos=pos, num_heads=cfg["n_head"])
+        hnorm = layer_norm(q, params["idx_pred_layer"][0])
+        logits = hnorm @ params["idx_pred_layer"][1]["w"]  # (B, L, codebook)
+        top_idx = jnp.argmax(logits, axis=-1)
+        quant = vq_lookup(params["quantize"], top_idx).reshape(b, h, w, -1)
+        return quant, logits, q
+
+    @staticmethod
+    def _decode_frame(params, cfg, quant_feat, enc_feats_t, prev_cfa_feats,
+                      first: bool):
+        """Generator pass for one frame with CFT skip fusion and CFA
+        cross-frame fusion. prev_cfa_feats: {f_size: (B,s,s,c)}."""
+        _, gen_plan = _plans(cfg)
+        _, _, gen_tap = arch_tables(cfg)
+        cft_idx = {gen_tap[f]: f for f in cfg["cft_list"]}
+        cfa_idx = {gen_tap[f]: f for f in cfg["cfa_list"]}
+        temp_idx = {gen_tap[f]: f for f in cfg["temp_reg_list"]}
+        x = quant_feat
+        new_cfa = {}
+        gen_feats = {}
+        from comfyui_keep_tpu.models.vqgan import _block_apply
+        for j, (spec, p) in enumerate(zip(gen_plan, params["generator"]["blocks"])):
+            x = _block_apply(spec, p, x)
+            if j in cft_idx:
+                f = cft_idx[j]
+                x = L.cft_block(params["cft"][f], enc_feats_t[f], x, cfg["cond"])
+            if j in cfa_idx:
+                f = cfa_idx[j]
+                if first:
+                    new_cfa[f] = x
+                else:
+                    x = L.cfa_layer(params["cfa"][f], x, prev_cfa_feats[f],
+                                    heads=cfg["cfa_nhead"],
+                                    residual=cfg["cross_residual"])
+                    new_cfa[f] = x
+            if j in temp_idx:
+                gen_feats[temp_idx[j]] = x
+        return x, new_cfa, gen_feats
+
+    @staticmethod
+    def apply(params, x, flows=None, *, detach_16=True, need_upscale=False,
+              return_aux=False, remat=True, **cfg):
+        """x: (B, T, H, W, 3) in [-1, 1] -> (B, T, 512, 512, 3).
+
+        flows: (B, T-1, H, W, 2) forward flows (frame i -> i-1 displacement
+        as produced by GMFlow(x_{i}, x_{i-1}), reference keep_arch.py:976-986).
+        Zeros if None (static-face approximation / single image path).
+        """
+        cfg = {**DEFAULT_CFG, **cfg}
+        b, t = x.shape[:2]
+        if need_upscale:
+            hw = (x.shape[2] * 4, x.shape[3] * 4)
+            x = resize_bilinear(x, hw)
+        h, w = x.shape[2], x.shape[3]
+        if flows is None:
+            flows = jnp.zeros((b, t - 1, h, w, 2), x.dtype)
+        flows = jax.lax.stop_gradient(flows)
+
+        enc_plan, _ = _plans(cfg)
+
+        # --- batched LQ encoder over all frames, tapping CFT skips ---------
+        _, enc_tap, _ = arch_tables(cfg)
+        tap = {enc_tap[f]: f for f in cfg["cft_list"]}
+        xf = x.reshape(b * t, h, w, 3)
+        z, taps = blocks_apply(params["encoder"], enc_plan, xf,
+                               tap_indices=list(tap), remat=remat)
+        lq_feat = z  # (B*T, 16, 16, emb)
+        enc_feats = {tap[i]: jax.lax.stop_gradient(v).reshape(
+            (b, t) + v.shape[1:]) for i, v in taps.items()}
+
+        hl = z.shape[1]
+        z_codes = z.reshape(b, t, hl, hl, -1)
+
+        # --- Kalman gain over the whole clip --------------------------------
+        gains = kalman_calc_gain(params["kalman_filter"], z_codes,
+                                 n_head=cfg["n_head"])
+
+        # --- frame 0 (no propagation) ---------------------------------------
+        quant0, logits0, _ = KEEP._tokens_to_code(params, cfg, z_codes[:, 0])
+        if detach_16:
+            quant0 = jax.lax.stop_gradient(quant0)
+        out0, cfa_feats0, gen_feats0 = KEEP._decode_frame(
+            params, cfg, quant0, {f: enc_feats[f][:, 0] for f in cfg["cft_list"]},
+            {}, first=True)
+
+        if t == 1:
+            outs = out0[:, None]
+            logits = logits0[:, None]
+            gen_feat_dict = {f: v[:, None] for f, v in gen_feats0.items()}
+            return KEEP._pack(outs, logits, lq_feat, gen_feat_dict, return_aux)
+
+        # --- frames 1..T-1 as lax.scan --------------------------------------
+        def step(carry, inp):
+            prev_out, prev_cfa = carry
+            z_t, gain_t, flow_t, enc_t = inp
+            warped = flow_warp(jax.lax.stop_gradient(prev_out), flow_t)
+            z_prime = blocks_apply(params["hq_encoder"], enc_plan, warped,
+                                   remat=remat)
+            z_hat = (1.0 - gain_t) * z_t + gain_t * z_prime
+            quant, logits_t, _ = KEEP._tokens_to_code(params, cfg, z_hat)
+            if detach_16:
+                quant = jax.lax.stop_gradient(quant)
+            out, new_cfa, gen_feats = KEEP._decode_frame(
+                params, cfg, quant, enc_t, prev_cfa, first=False)
+            return (out, new_cfa), (out, logits_t, gen_feats)
+
+        step_fn = jax.checkpoint(step) if remat else step
+
+        xs = (
+            jnp.moveaxis(z_codes[:, 1:], 1, 0),
+            jnp.moveaxis(gains[:, 1:], 1, 0),
+            jnp.moveaxis(flows, 1, 0),
+            {f: jnp.moveaxis(enc_feats[f][:, 1:], 1, 0) for f in cfg["cft_list"]},
+        )
+        (_, _), (outs_rest, logits_rest, gen_feats_rest) = jax.lax.scan(
+            step_fn, (out0, cfa_feats0), xs)
+
+        outs = jnp.concatenate([out0[:, None], jnp.moveaxis(outs_rest, 0, 1)], axis=1)
+        logits = jnp.concatenate([logits0[:, None], jnp.moveaxis(logits_rest, 0, 1)],
+                                 axis=1)
+        gen_feat_dict = {
+            f: jnp.concatenate([gen_feats0[f][:, None],
+                                jnp.moveaxis(gen_feats_rest[f], 0, 1)], axis=1)
+            for f in gen_feats0}
+        return KEEP._pack(outs, logits, lq_feat, gen_feat_dict, return_aux)
+
+    @staticmethod
+    def _pack(outs, logits, lq_feat, gen_feat_dict, return_aux):
+        if not return_aux:
+            return outs
+        b, t = logits.shape[:2]
+        logits = logits.reshape((b * t,) + logits.shape[2:])
+        return outs, {"logits": logits, "lq_feat": lq_feat,
+                      "gen_feat_dict": gen_feat_dict}
+
+
+def convert_checkpoint(sd):
+    """Reference KEEP .pth state dict (numpy) -> (param tree, flownet sd).
+
+    Reproduces keep_model_loader.py:105-120 semantics: legacy key remap
+    cross_fuse→cfa / fuse_convs_dict→cft; the GMFlow subtree is returned
+    separately (converted by models/gmflow.py).
+    """
+    from comfyui_keep_tpu.utils.checkpoint import convert_state_dict, embedding_rule
+    flownet_sd = {k[len("flownet."):]: v for k, v in sd.items()
+                  if k.startswith("flownet.")}
+    rest = {k: v for k, v in sd.items() if not k.startswith("flownet.")}
+    tree = convert_state_dict(
+        rest,
+        rules=[embedding_rule("quantize.embedding", ("quantize", "embedding"))],
+        key_remap=[("cross_fuse", "cfa"), ("fuse_convs_dict", "cft")])
+    # torch nn.MultiheadAttention packs q/k/v: split into our layout
+    for layer in tree["ft_layers"]:
+        sa = layer["self_attn"]
+        ipw = sa.pop("in_proj_weight")
+        ipb = sa.pop("in_proj_bias")
+        e = ipw.shape[1]
+        sa["q_w"], sa["k_w"], sa["v_w"] = ipw[:e].T, ipw[e:2 * e].T, ipw[2 * e:].T
+        sa["q_b"], sa["k_b"], sa["v_b"] = ipb[:e], ipb[e:2 * e], ipb[2 * e:]
+        op = sa.pop("out_proj")
+        sa["out_w"], sa["out_b"] = op["w"], op["b"]
+    return tree, flownet_sd
+
+
+def mask_by_ratio(key, z_codes, mask_ratio: float = 0.0):
+    """Training-time random token masking (keep_arch.py:988-1006).
+    z_codes: (B, T, h, w, C)."""
+    if mask_ratio == 0:
+        return z_codes
+    b, t, h, w, c = z_codes.shape
+    d = h * w
+    keep = int(d * (1 - mask_ratio))
+    scores = jax.random.uniform(key, (b, t, d))
+    thresh = -jnp.sort(-scores, axis=-1)[..., keep - 1:keep]
+    mask = (scores >= thresh).astype(z_codes.dtype).reshape(b, t, h, w, 1)
+    return z_codes * mask
+
+
+def count_parameters(params) -> int:
+    return sum(x.size for x in jax.tree.leaves(params))

@@ -219,7 +219,7 @@ def vq_quantize(params, z, beta: float = 0.25):
 
 def vq_lookup(params, indices):
     """get_codebook_feat (vqgan_arch.py:78-91): indices (...,) -> (..., C)."""
-    return params["embedding"][indices]
+    return jnp.take(jnp.asarray(params["embedding"]), indices, axis=0)
 
 
 def gumbel_quantizer_init(key, codebook_size: int, emb_dim: int, num_hiddens: int):

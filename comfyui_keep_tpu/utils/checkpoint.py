@@ -45,7 +45,10 @@ def _listify(tree: Any) -> Any:
     if not isinstance(tree, dict):
         return tree
     tree = {k: _listify(v) for k, v in tree.items()}
-    if tree and all(re.fullmatch(r"\d+", k) for k in tree):
+    # Only treat as a Sequential/ModuleList if indices start at 0 — dicts
+    # keyed by resolution strings ('16', '32', keep_arch cfa/cft ModuleDicts)
+    # must stay dicts.
+    if tree and all(re.fullmatch(r"\d+", k) for k in tree) and "0" in tree:
         n = max(int(k) for k in tree) + 1
         return [tree.get(str(i)) for i in range(n)]
     return tree

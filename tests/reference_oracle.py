@@ -67,6 +67,105 @@ def load_ref_vqgan():
 
 
 def load_ref_arch_util():
-    _install_stubs()
+    _install_stubs_arch_util()
     return _module_from_file("wm_basicsr.archs.arch_util",
                              f"{REF_ROOT}/archs/arch_util.py")
+
+
+def _install_stubs_arch_util():
+    """arch_util.py imports torchvision and wm_basicsr.ops.dcn at module top;
+    neither is importable here — stub them (only DCN call paths need them)."""
+    _install_stubs()
+    if "torchvision" not in sys.modules:
+        tv = types.ModuleType("torchvision")
+        tv.__version__ = "0.20.0"
+        tv.ops = types.ModuleType("torchvision.ops")
+        tv.ops.deform_conv2d = None
+        sys.modules["torchvision"] = tv
+        sys.modules["torchvision.ops"] = tv.ops
+    if "wm_basicsr.ops" not in sys.modules:
+        ops = types.ModuleType("wm_basicsr.ops")
+        ops.__path__ = []
+        dcn = types.ModuleType("wm_basicsr.ops.dcn")
+        dcn.ModulatedDeformConvPack = type("ModulatedDeformConvPack", (), {})
+        dcn.modulated_deform_conv = None
+        dcn.DeformConvPack = type("DeformConvPack", (), {})
+        dcn.deform_conv = None
+        sys.modules["wm_basicsr.ops"] = ops
+        sys.modules["wm_basicsr.ops.dcn"] = dcn
+
+
+def _install_diffusers_stub():
+    """Faithful torch implementations of the two diffusers-0.11 symbols
+    keep_arch.py imports (FeedForward with GEGLU; AdaLayerNorm is never
+    instantiated on the KEEP path — num_embeds_ada_norm is None)."""
+    if "diffusers" in sys.modules:
+        return
+    import torch
+    from torch import nn
+    import torch.nn.functional as F
+
+    class GEGLU(nn.Module):
+        def __init__(self, dim_in, dim_out):
+            super().__init__()
+            self.proj = nn.Linear(dim_in, dim_out * 2)
+
+        def forward(self, x):
+            x, gate = self.proj(x).chunk(2, dim=-1)
+            return x * F.gelu(gate)
+
+    class FeedForward(nn.Module):
+        def __init__(self, dim, dim_out=None, mult=4, dropout=0.0,
+                     activation_fn="geglu"):
+            super().__init__()
+            assert activation_fn == "geglu"
+            inner = int(dim * mult)
+            self.net = nn.ModuleList(
+                [GEGLU(dim, inner), nn.Dropout(dropout),
+                 nn.Linear(inner, dim_out or dim)])
+
+        def forward(self, x):
+            for m in self.net:
+                x = m(x)
+            return x
+
+    class AdaLayerNorm(nn.Module):
+        def __init__(self, *a, **k):
+            raise NotImplementedError("not on KEEP path")
+
+    d = types.ModuleType("diffusers")
+    dm = types.ModuleType("diffusers.models")
+    da = types.ModuleType("diffusers.models.attention")
+    da.FeedForward = FeedForward
+    da.AdaLayerNorm = AdaLayerNorm
+    d.models = dm
+    dm.attention = da
+    sys.modules["diffusers"] = d
+    sys.modules["diffusers.models"] = dm
+    sys.modules["diffusers.models.attention"] = da
+
+
+def load_ref_keep(flow_stub=True):
+    """Load reference keep_arch.py with a zero-flow FlowGenerator stub (the
+    real GMFlow is golden-tested separately; KEEP parity uses explicit flows)."""
+    _install_stubs_arch_util()
+    _install_diffusers_stub()
+    load_ref_vqgan()
+    if flow_stub and "wm_basicsr.archs.gmflow_arch" not in sys.modules:
+        import torch
+        from torch import nn
+
+        class FlowGenerator(nn.Module):
+            def __init__(self, path=None, requires_grad=False):
+                super().__init__()
+
+            def forward(self, im1, im2, **kw):
+                n, c, h, w = im1.shape
+                return torch.zeros((n, 2, h, w), dtype=im1.dtype)
+
+        ga = types.ModuleType("wm_basicsr.archs.gmflow_arch")
+        ga.FlowGenerator = FlowGenerator
+        sys.modules["wm_basicsr.archs.gmflow_arch"] = ga
+    load_ref_arch_util()
+    return _module_from_file("wm_basicsr.archs.keep_arch",
+                             f"{REF_ROOT}/archs/keep_arch.py")
