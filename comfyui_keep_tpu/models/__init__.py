@@ -4,6 +4,8 @@ all *_arch.py files)."""
 from comfyui_keep_tpu.utils.registry import ARCH_REGISTRY
 
 from comfyui_keep_tpu.models import vqgan  # noqa: F401
+from comfyui_keep_tpu.models import keep  # noqa: F401
+from comfyui_keep_tpu.models import gmflow  # noqa: F401
 
 
 def build_network(name: str):

@@ -1,0 +1,412 @@
+"""GMFlow optical flow, TPU-native rebuild of reference
+archs/gmflow_arch.py + archs/gmflow/gmflow/* (~1.2k LoC).
+
+Structure (reference gmflow.py:12-170): InstanceNorm CNN backbone (stride 8)
+-> sine position embedding -> 6x single-head transformer blocks with Swin-style
+split-window attention (shifted on odd layers) over both images as one 2B
+batch -> global correlation softmax (expectation flow) -> feature-guided flow
+propagation attention -> 9-way convex upsampling x8.
+
+TPU notes: everything is NHWC; the window partition is a reshape/transpose
+(no data movement after XLA layout assignment); the shifted-window attention
+mask is computed with numpy at trace time (static shapes); the (H*W)x(H*W)
+global correlation is a single MXU matmul at 64x64 tokens for 512-inputs.
+"""
+import math
+from typing import List, Optional, Sequence, Tuple
+
+import numpy as np
+import jax
+import jax.numpy as jnp
+
+from comfyui_keep_tpu.ops import (
+    conv2d, conv2d_init, instance_norm, layer_norm, linear, linear_init,
+    relu, gelu, resize_bilinear, grid_sample,
+)
+from comfyui_keep_tpu.ops.norm import layer_norm_init
+from comfyui_keep_tpu.utils.registry import ARCH_REGISTRY
+
+IMAGENET_MEAN = (0.485, 0.456, 0.406)
+IMAGENET_STD = (0.229, 0.224, 0.225)
+
+
+# ---------------------------------------------------------------------------
+# Backbone (backbone.py:39-117)
+# ---------------------------------------------------------------------------
+
+def _rb_init(key, cin, cout, stride):
+    ks = jax.random.split(key, 3)
+    p = {"conv1": {"w": conv2d_init(ks[0], 3, 3, cin, cout, bias=False)["w"]},
+         "conv2": {"w": conv2d_init(ks[1], 3, 3, cout, cout, bias=False)["w"]}}
+    if stride != 1 or cin != cout:
+        p["downsample"] = [conv2d_init(ks[2], 1, 1, cin, cout)]
+    return p
+
+
+def _rb_apply(p, x, stride):
+    y = relu(instance_norm(conv2d(x, p["conv1"]["w"], stride=stride, padding=1)))
+    y = relu(instance_norm(conv2d(y, p["conv2"]["w"], padding=1)))
+    if "downsample" in p:
+        x = instance_norm(conv2d(x, p["downsample"][0]["w"], p["downsample"][0]["b"],
+                                 stride=stride))
+    return relu(x + y)
+
+
+def backbone_init(key, output_dim=128):
+    dims = (64, 96, 128)
+    ks = jax.random.split(key, 8)
+    return {
+        "conv1": {"w": conv2d_init(ks[0], 7, 7, 3, dims[0], bias=False)["w"]},
+        "layer1": [_rb_init(ks[1], dims[0], dims[0], 1), _rb_init(ks[2], dims[0], dims[0], 1)],
+        "layer2": [_rb_init(ks[3], dims[0], dims[1], 2), _rb_init(ks[4], dims[1], dims[1], 1)],
+        "layer3": [_rb_init(ks[5], dims[1], dims[2], 2), _rb_init(ks[6], dims[2], dims[2], 1)],
+        "conv2": conv2d_init(ks[7], 1, 1, dims[2], output_dim),
+    }
+
+
+def backbone_apply(p, x):
+    x = relu(instance_norm(conv2d(x, p["conv1"]["w"], stride=2, padding=3)))
+    x = _rb_apply(p["layer1"][0], x, 1)
+    x = _rb_apply(p["layer1"][1], x, 1)
+    x = _rb_apply(p["layer2"][0], x, 2)
+    x = _rb_apply(p["layer2"][1], x, 1)
+    x = _rb_apply(p["layer3"][0], x, 2)
+    x = _rb_apply(p["layer3"][1], x, 1)
+    return conv2d(x, p["conv2"]["w"], p["conv2"]["b"])
+
+
+# ---------------------------------------------------------------------------
+# Window partition + sine position embedding (utils.py:5-86, position.py:9-46)
+# ---------------------------------------------------------------------------
+
+def split_windows(x, k: int):
+    """(B, H, W, C) -> (B*k*k, H/k, W/k, C), row-major windows."""
+    b, h, w, c = x.shape
+    x = x.reshape(b, k, h // k, k, w // k, c).transpose(0, 1, 3, 2, 4, 5)
+    return x.reshape(b * k * k, h // k, w // k, c)
+
+
+def merge_windows(x, k: int):
+    bk, hk, wk, c = x.shape
+    b = bk // (k * k)
+    x = x.reshape(b, k, k, hk, wk, c).transpose(0, 1, 3, 2, 4, 5)
+    return x.reshape(b, k * hk, k * wk, c)
+
+
+def sine_pos_embed(h: int, w: int, num_pos_feats: int):
+    """DETR sine embedding, normalize=True (gmflow position.py:9-46).
+    Returns (h, w, 2*num_pos_feats) ordered [y-part, x-part]."""
+    scale = 2 * math.pi
+    eps = 1e-6
+    y = np.arange(1, h + 1, dtype=np.float32)[:, None] * np.ones((1, w), np.float32)
+    x = np.arange(1, w + 1, dtype=np.float32)[None, :] * np.ones((h, 1), np.float32)
+    y = y / (y[-1:, :] + eps) * scale
+    x = x / (x[:, -1:] + eps) * scale
+    dim_t = np.arange(num_pos_feats, dtype=np.float32)
+    dim_t = 10000.0 ** (2 * np.floor(dim_t / 2) / num_pos_feats)
+    px = x[:, :, None] / dim_t
+    py = y[:, :, None] / dim_t
+    px = np.stack([np.sin(px[:, :, 0::2]), np.cos(px[:, :, 1::2])], axis=3).reshape(h, w, -1)
+    py = np.stack([np.sin(py[:, :, 0::2]), np.cos(py[:, :, 1::2])], axis=3).reshape(h, w, -1)
+    return jnp.asarray(np.concatenate([py, px], axis=-1))
+
+
+def add_position(f0, f1, attn_splits: int, channels: int):
+    """feature_add_position (utils.py:66-86): pos computed per split window."""
+    b, h, w, c = f0.shape
+    if attn_splits > 1:
+        f0s = split_windows(f0, attn_splits)
+        f1s = split_windows(f1, attn_splits)
+        pos = sine_pos_embed(h // attn_splits, w // attn_splits, channels // 2)
+        return merge_windows(f0s + pos, attn_splits), merge_windows(f1s + pos, attn_splits)
+    pos = sine_pos_embed(h, w, channels // 2)
+    return f0 + pos, f1 + pos
+
+
+def shifted_window_mask(h: int, w: int, k: int) -> np.ndarray:
+    """Swin SW-MSA mask (transformer.py:20-46), computed host-side (static).
+    Returns (k*k, win, win) additive mask of {0, -100}."""
+    wsh, wsw = h // k, w // k
+    ssh, ssw = wsh // 2, wsw // 2
+    img = np.zeros((h, w), np.float32)
+    cnt = 0
+    for hs in (slice(0, h - wsh), slice(h - wsh, h - ssh), slice(h - ssh, None)):
+        for ws in (slice(0, w - wsw), slice(w - wsw, w - ssw), slice(w - ssw, None)):
+            img[hs, ws] = cnt
+            cnt += 1
+    win = img.reshape(k, wsh, k, wsw).transpose(0, 2, 1, 3).reshape(k * k, wsh * wsw)
+    mask = win[:, None, :] - win[:, :, None]
+    return np.where(mask != 0, -100.0, 0.0).astype(np.float32)
+
+
+# ---------------------------------------------------------------------------
+# Feature transformer (transformer.py:8-322)
+# ---------------------------------------------------------------------------
+
+def _tlayer_init(key, d: int, ffn: bool, expansion: int = 4):
+    ks = jax.random.split(key, 6)
+    p = {
+        "q_proj": {"w": linear_init(ks[0], d, d, bias=False)["w"]},
+        "k_proj": {"w": linear_init(ks[1], d, d, bias=False)["w"]},
+        "v_proj": {"w": linear_init(ks[2], d, d, bias=False)["w"]},
+        "merge": {"w": linear_init(ks[3], d, d, bias=False)["w"]},
+        "norm1": layer_norm_init(d),
+    }
+    if ffn:
+        p["mlp"] = [{"w": linear_init(ks[4], 2 * d, 2 * d * expansion, bias=False)["w"]},
+                    None,
+                    {"w": linear_init(ks[5], 2 * d * expansion, d, bias=False)["w"]}]
+        p["norm2"] = layer_norm_init(d)
+    return p
+
+
+def _attention_tokens(q, k, v, h, w, splits: int, shift: bool, mask):
+    """Single-head attention over (B, H*W, C) tokens with optional Swin
+    split/shift windows (transformer.py:8-105)."""
+    b, l, c = q.shape
+    scale = 1.0 / math.sqrt(c)
+    if splits > 1:
+        wsh, wsw = h // splits, w // splits
+
+        def prep(t):
+            t = t.reshape(b, h, w, c)
+            if shift:
+                t = jnp.roll(t, (-(wsh // 2), -(wsw // 2)), axis=(1, 2))
+            return split_windows(t, splits).reshape(b * splits * splits, wsh * wsw, c)
+
+        qs, ks_, vs = prep(q), prep(k), prep(v)
+        scores = jnp.einsum("blc,bmc->blm", qs, ks_,
+                            preferred_element_type=jnp.float32) * scale
+        if shift:
+            scores = scores + jnp.tile(jnp.asarray(mask), (b, 1, 1))
+        probs = jax.nn.softmax(scores, axis=-1).astype(vs.dtype)
+        out = jnp.einsum("blm,bmc->blc", probs, vs)
+        out = merge_windows(out.reshape(b * splits * splits, wsh, wsw, c), splits)
+        if shift:
+            out = jnp.roll(out, (wsh // 2, wsw // 2), axis=(1, 2))
+        return out.reshape(b, l, c)
+    scores = jnp.einsum("blc,bmc->blm", q, k,
+                        preferred_element_type=jnp.float32) * scale
+    probs = jax.nn.softmax(scores, axis=-1).astype(v.dtype)
+    return jnp.einsum("blm,bmc->blc", probs, v)
+
+
+def _tlayer_apply(p, source, target, h, w, splits, shift, mask):
+    q = source @ p["q_proj"]["w"]
+    k = target @ p["k_proj"]["w"]
+    v = target @ p["v_proj"]["w"]
+    msg = _attention_tokens(q, k, v, h, w, splits, shift, mask)
+    msg = layer_norm(msg @ p["merge"]["w"], p["norm1"])
+    if "mlp" in p:
+        msg = jnp.concatenate([source, msg], axis=-1)
+        msg = gelu(msg @ p["mlp"][0]["w"]) @ p["mlp"][2]["w"]
+        msg = layer_norm(msg, p["norm2"])
+    return source + msg
+
+
+def transformer_init(key, d_model=128, num_layers=6):
+    ks = jax.random.split(key, num_layers)
+    return {"layers": [
+        {"self_attn": _tlayer_init(jax.random.fold_in(k, 0), d_model, ffn=False),
+         "cross_attn_ffn": _tlayer_init(jax.random.fold_in(k, 1), d_model, ffn=True)}
+        for k in ks]}
+
+
+def transformer_apply(p, f0, f1, attn_splits: int):
+    """f0/f1: (B, H, W, C). Both images processed as one 2B batch, swapped
+    each layer (transformer.py:301-316)."""
+    b, h, w, c = f0.shape
+    mask = shifted_window_mask(h, w, attn_splits) if attn_splits > 1 else None
+    c0 = jnp.concatenate([f0, f1], axis=0).reshape(2 * b, h * w, c)
+    c1 = jnp.concatenate([f1, f0], axis=0).reshape(2 * b, h * w, c)
+    for i, layer in enumerate(p["layers"]):
+        shift = (i % 2 == 1)
+        c0 = _tlayer_apply(layer["self_attn"], c0, c0, h, w, attn_splits, shift, mask)
+        c0 = _tlayer_apply(layer["cross_attn_ffn"], c0, c1, h, w, attn_splits, shift, mask)
+        c1 = jnp.concatenate([c0[b:], c0[:b]], axis=0)
+    f0 = c0[:b].reshape(b, h, w, c)
+    f1 = c0[b:].reshape(b, h, w, c)
+    return f0, f1
+
+
+# ---------------------------------------------------------------------------
+# Matching (matching.py:7-83)
+# ---------------------------------------------------------------------------
+
+def coords_grid(h: int, w: int):
+    """(h, w, 2) [x, y] pixel coordinates."""
+    y, x = jnp.meshgrid(jnp.arange(h, dtype=jnp.float32),
+                        jnp.arange(w, dtype=jnp.float32), indexing="ij")
+    return jnp.stack([x, y], axis=-1)
+
+
+def global_correlation_softmax(f0, f1):
+    """(B, H, W, C) x2 -> flow (B, H, W, 2): softmax-weighted expectation of
+    the grid over the full (H*W)^2 correlation (matching.py:7-36)."""
+    b, h, w, c = f0.shape
+    t0 = f0.reshape(b, h * w, c)
+    t1 = f1.reshape(b, h * w, c)
+    corr = jnp.einsum("blc,bmc->blm", t0, t1,
+                      preferred_element_type=jnp.float32) / math.sqrt(c)
+    prob = jax.nn.softmax(corr, axis=-1)
+    grid = coords_grid(h, w).reshape(h * w, 2)
+    corresp = jnp.einsum("blm,mk->blk", prob, grid).reshape(b, h, w, 2)
+    return corresp - grid.reshape(h, w, 2), prob
+
+
+def local_correlation_softmax(f0, f1, radius: int):
+    """Windowed variant (matching.py:39-83)."""
+    b, h, w, c = f0.shape
+    k = 2 * radius + 1
+    coords = coords_grid(h, w)  # (h, w, 2)
+    offs_x, offs_y = jnp.meshgrid(jnp.arange(-radius, radius + 1, dtype=jnp.float32),
+                                  jnp.arange(-radius, radius + 1, dtype=jnp.float32),
+                                  indexing="xy")
+    window = jnp.stack([offs_x, offs_y], axis=-1).reshape(-1, 2)  # (k*k, 2)
+    sample = coords[None, :, :, None, :] + window  # (1, h, w, k*k, 2)
+    sample = jnp.broadcast_to(sample, (b, h, w, k * k, 2))
+    valid = ((sample[..., 0] >= 0) & (sample[..., 0] < w) &
+             (sample[..., 1] >= 0) & (sample[..., 1] < h))
+    norm = jnp.stack([2 * sample[..., 0] / max(w - 1, 1) - 1,
+                      2 * sample[..., 1] / max(h - 1, 1) - 1], axis=-1)
+    feat_w = grid_sample(f1, norm.reshape(b, h * w, k * k, 2))  # (b, h*w, k*k, c)
+    f0t = f0.reshape(b, h * w, 1, c)
+    corr = jnp.sum(f0t * feat_w, axis=-1) / math.sqrt(c)  # (b, h*w, k*k)
+    corr = jnp.where(valid.reshape(b, h * w, k * k), corr, -1e9)
+    prob = jax.nn.softmax(corr, axis=-1)
+    corresp = jnp.einsum("blk,blkc->blc", prob, sample.reshape(b, h * w, k * k, 2))
+    flow = corresp.reshape(b, h, w, 2) - coords
+    return flow, prob
+
+
+# ---------------------------------------------------------------------------
+# Flow propagation attention (transformer.py:325-409)
+# ---------------------------------------------------------------------------
+
+def flow_attn_init(key, c=128):
+    k1, k2 = jax.random.split(key)
+    return {"q_proj": linear_init(k1, c, c), "k_proj": linear_init(k2, c, c)}
+
+
+def flow_attention(p, feature0, flow, local_window_radius: int = -1):
+    """Global: softmax(q k^T / sqrt(c)) @ flow. NB reference quirk preserved:
+    key = k_proj(q_proj(x)) (transformer.py:352-360)."""
+    b, h, w, c = feature0.shape
+    x = feature0.reshape(b, h * w, c)
+    q = linear(x, p["q_proj"]["w"], p["q_proj"]["b"])
+    if local_window_radius > 0:
+        # NB: the local branch projects the key from feature0 directly
+        # (transformer.py:383-390), unlike the global branch's k(q(x)) quirk.
+        k = linear(x, p["k_proj"]["w"], p["k_proj"]["b"])
+        r = local_window_radius
+        ksz = 2 * r + 1
+        kp = _unfold_nhwc(k.reshape(b, h, w, c), ksz, r)      # (b,h,w,k2,c)
+        vp = _unfold_nhwc(flow, ksz, r)                        # (b,h,w,k2,2)
+        scores = jnp.einsum("bhwc,bhwkc->bhwk", q.reshape(b, h, w, c), kp) / math.sqrt(c)
+        prob = jax.nn.softmax(scores, axis=-1)
+        return jnp.einsum("bhwk,bhwkc->bhwc", prob, vp)
+    k = linear(q, p["k_proj"]["w"], p["k_proj"]["b"])
+    v = flow.reshape(b, h * w, 2)
+    scores = jnp.einsum("blc,bmc->blm", q, k,
+                        preferred_element_type=jnp.float32) / math.sqrt(c)
+    prob = jax.nn.softmax(scores, axis=-1)
+    return jnp.einsum("blm,bmc->blc", prob, v).reshape(b, h, w, 2)
+
+
+def _unfold_nhwc(x, ksize: int, pad: int):
+    """(B, H, W, C) -> (B, H, W, ksize*ksize, C), zero-padded, row-major patch
+    order (matches F.unfold)."""
+    b, h, w, c = x.shape
+    xp = jnp.pad(x, ((0, 0), (pad, pad), (pad, pad), (0, 0)))
+    patches = [xp[:, i:i + h, j:j + w] for i in range(ksize) for j in range(ksize)]
+    return jnp.stack(patches, axis=3)
+
+
+# ---------------------------------------------------------------------------
+# Convex upsampling (gmflow.py:67-90)
+# ---------------------------------------------------------------------------
+
+def upsampler_init(key, feature_channels=128, factor=8):
+    k1, k2 = jax.random.split(key)
+    return [conv2d_init(k1, 3, 3, 2 + feature_channels, 256), None,
+            conv2d_init(k2, 1, 1, 256, factor * factor * 9)]
+
+
+def upsample_flow_convex(p, flow, feature, factor: int = 8):
+    b, h, w, _ = flow.shape
+    concat = jnp.concatenate([flow, feature], axis=-1)
+    mask = conv2d(concat, p[0]["w"], p[0]["b"], padding=1)
+    mask = relu(mask)
+    mask = conv2d(mask, p[2]["w"], p[2]["b"])  # (b, h, w, 9*factor^2)
+    mask = mask.reshape(b, h, w, 9, factor * factor)
+    mask = jax.nn.softmax(mask, axis=3)
+    patches = _unfold_nhwc(flow * factor, 3, 1)  # (b, h, w, 9, 2)
+    up = jnp.einsum("bhwnk,bhwnc->bhwkc", mask, patches)  # (b,h,w,f*f,2)
+    up = up.reshape(b, h, w, factor, factor, 2)
+    up = up.transpose(0, 1, 3, 2, 4, 5).reshape(b, h * factor, w * factor, 2)
+    return up
+
+
+# ---------------------------------------------------------------------------
+# Full model
+# ---------------------------------------------------------------------------
+
+@ARCH_REGISTRY.register(name="GMFlow")
+class GMFlow:
+    FEATURE_CHANNELS = 128
+    UPSAMPLE_FACTOR = 8
+
+    @staticmethod
+    def init(key, feature_channels=128, num_layers=6):
+        ks = jax.random.split(key, 4)
+        return {
+            "backbone": backbone_init(ks[0], feature_channels),
+            "transformer": transformer_init(ks[1], feature_channels, num_layers),
+            "feature_flow_attn": flow_attn_init(ks[2], feature_channels),
+            "upsampler": upsampler_init(ks[3], feature_channels),
+        }
+
+    @staticmethod
+    def apply(params, img0, img1, attn_splits: int = 2, corr_radius: int = -1,
+              prop_radius: int = -1):
+        """img0/img1: (B, H, W, 3) in [0, 255]. Returns flow (B, H, W, 2) at
+        full resolution (img0 -> img1 displacement)."""
+        mean = jnp.asarray(IMAGENET_MEAN, img0.dtype)
+        std = jnp.asarray(IMAGENET_STD, img0.dtype)
+        img0 = (img0 / 255.0 - mean) / std
+        img1 = (img1 / 255.0 - mean) / std
+        b = img0.shape[0]
+        feats = backbone_apply(params["backbone"],
+                               jnp.concatenate([img0, img1], axis=0))
+        f0, f1 = feats[:b], feats[b:]
+        f0, f1 = add_position(f0, f1, attn_splits, GMFlow.FEATURE_CHANNELS)
+        f0, f1 = transformer_apply(params["transformer"], f0, f1, attn_splits)
+        if corr_radius == -1:
+            flow, _ = global_correlation_softmax(f0, f1)
+        else:
+            flow, _ = local_correlation_softmax(f0, f1, corr_radius)
+        flow = flow_attention(params["feature_flow_attn"], f0,
+                              jax.lax.stop_gradient(flow),
+                              local_window_radius=prop_radius)
+        return upsample_flow_convex(params["upsampler"], flow, f0,
+                                    GMFlow.UPSAMPLE_FACTOR)
+
+
+def flow_from_clip(params, x, chunk: Optional[int] = None):
+    """FlowGenerator-equivalent (gmflow_arch.py:10-66) for KEEP:
+    x (B, T, H, W, 3) in [-1, 1] -> flows (B, T-1, H, W, 2), where
+    flows[:, i] = GMFlow(frame_{i+1} -> frame_i), matching
+    keep_arch.py:976-986 (flownet(x_2, x_1))."""
+    b, t, h, w, _ = x.shape
+    x255 = (x + 1.0) * 0.5 * 255.0
+    img0 = x255[:, 1:].reshape(b * (t - 1), h, w, 3)
+    img1 = x255[:, :-1].reshape(b * (t - 1), h, w, 3)
+    flow = GMFlow.apply(params, img0, img1)
+    return jax.lax.stop_gradient(flow.reshape(b, t - 1, h, w, 2))
+
+
+def convert_gmflow_checkpoint(sd):
+    """Torch GMFlow state dict (numpy, keys relative to the GMFlow module,
+    i.e. 'backbone.conv1.weight', ...) -> param tree."""
+    from comfyui_keep_tpu.utils.checkpoint import convert_state_dict
+    return convert_state_dict(sd)

@@ -346,8 +346,9 @@ def convert_checkpoint(sd):
     separately (converted by models/gmflow.py).
     """
     from comfyui_keep_tpu.utils.checkpoint import convert_state_dict, embedding_rule
-    flownet_sd = {k[len("flownet."):]: v for k, v in sd.items()
-                  if k.startswith("flownet.")}
+    # flownet is FlowGenerator wrapping GMFlow as `.model` (gmflow_arch.py:10-38)
+    flownet_sd = {k[len("flownet.model."):]: v for k, v in sd.items()
+                  if k.startswith("flownet.model.")}
     rest = {k: v for k, v in sd.items() if not k.startswith("flownet.")}
     tree = convert_state_dict(
         rest,

@@ -1,0 +1,84 @@
+"""Golden parity: our GMFlow vs the reference torch package on random weights."""
+import sys
+
+import numpy as np
+import pytest
+import jax.numpy as jnp
+
+from tests import reference_oracle as oracle
+
+torch = pytest.importorskip("torch")
+
+pytestmark = pytest.mark.skipif(not oracle.reference_available(),
+                                reason="reference repo not mounted")
+
+GMFLOW_PKG_DIR = f"{oracle.REF_ROOT}/archs/gmflow"
+
+
+@pytest.fixture(scope="module")
+def ref_gmflow():
+    if GMFLOW_PKG_DIR not in sys.path:
+        sys.path.insert(0, GMFLOW_PKG_DIR)
+    import importlib
+    return importlib.import_module("gmflow.gmflow")
+
+
+@pytest.fixture(scope="module")
+def nets(ref_gmflow):
+    from comfyui_keep_tpu.models.gmflow import convert_gmflow_checkpoint
+    torch.manual_seed(0)
+    net = ref_gmflow.GMFlow().eval()
+    sd = {k: v.detach().numpy() for k, v in net.state_dict().items()}
+    tree = convert_gmflow_checkpoint(sd)
+    return net, tree
+
+
+def test_param_count(nets):
+    import jax
+    net, tree = nets
+    assert sum(x.size for x in jax.tree.leaves(tree)) == \
+        sum(p.numel() for p in net.parameters())
+
+
+def test_backbone_parity(nets, rng):
+    from comfyui_keep_tpu.models.gmflow import backbone_apply
+    net, tree = nets
+    x = rng.standard_normal((2, 64, 64, 3), dtype=np.float32)
+    with torch.no_grad():
+        ref = net.backbone(torch.tensor(x.transpose(0, 3, 1, 2)))[0]
+    ours = backbone_apply(tree["backbone"], jnp.asarray(x))
+    np.testing.assert_allclose(np.asarray(ours), ref.numpy().transpose(0, 2, 3, 1),
+                               atol=2e-4, rtol=1e-3)
+
+
+def test_full_flow_parity(nets, rng):
+    from comfyui_keep_tpu.models.gmflow import GMFlow
+    net, tree = nets
+    img0 = rng.random((1, 64, 64, 3), dtype=np.float32) * 255
+    img1 = rng.random((1, 64, 64, 3), dtype=np.float32) * 255
+    with torch.no_grad():
+        ref = net(torch.tensor(img0.transpose(0, 3, 1, 2)),
+                  torch.tensor(img1.transpose(0, 3, 1, 2)),
+                  attn_splits_list=[2], corr_radius_list=[-1],
+                  prop_radius_list=[-1])["flow_preds"][-1]
+    ours = GMFlow.apply(tree, jnp.asarray(img0), jnp.asarray(img1),
+                        attn_splits=2, corr_radius=-1, prop_radius=-1)
+    np.testing.assert_allclose(np.asarray(ours), ref.numpy().transpose(0, 2, 3, 1),
+                               atol=2e-3, rtol=1e-2)
+
+
+def test_local_variants_parity(nets, rng):
+    """Local correlation + local-window propagation (refinement-scale ops)."""
+    from comfyui_keep_tpu.models.gmflow import GMFlow
+    net, tree = nets
+    img0 = rng.random((1, 32, 32, 3), dtype=np.float32) * 255
+    img1 = rng.random((1, 32, 32, 3), dtype=np.float32) * 255
+    with torch.no_grad():
+        ref = net(torch.tensor(img0.transpose(0, 3, 1, 2)),
+                  torch.tensor(img1.transpose(0, 3, 1, 2)),
+                  attn_splits_list=[1], corr_radius_list=[2],
+                  prop_radius_list=[1])["flow_preds"][-1]
+    ours = GMFlow.apply(tree, jnp.asarray(img0), jnp.asarray(img1),
+                        attn_splits=1, corr_radius=2, prop_radius=1)
+    np.testing.assert_allclose(np.asarray(ours), ref.numpy().transpose(0, 2, 3, 1),
+                               atol=2e-3, rtol=1e-2)

@@ -56,6 +56,44 @@ def test_kalman_gain_parity(ref_net_and_tree, cfg, rng):
                                atol=2e-4, rtol=1e-3)
 
 
+def test_keep_forward_with_gmflow_parity(ref_net_and_tree, cfg, rng):
+    """End-to-end: real GMFlow flows feeding the KEEP recurrence, both sides."""
+    import sys
+    sys.path.insert(0, f"{oracle.REF_ROOT}/archs/gmflow")
+    import importlib
+    ref_gm_mod = importlib.import_module("gmflow.gmflow")
+    from comfyui_keep_tpu.models.gmflow import (convert_gmflow_checkpoint,
+                                                flow_from_clip)
+
+    net, tree = ref_net_and_tree
+    torch.manual_seed(7)
+    gm = ref_gm_mod.GMFlow().eval()
+    gm_tree = convert_gmflow_checkpoint(
+        {k: v.detach().numpy() for k, v in gm.state_dict().items()})
+
+    class RealFlow(torch.nn.Module):
+        def forward(self, im1, im2, **kw):
+            im1 = (im1 + 1) / 2 * 255
+            im2 = (im2 + 1) / 2 * 255
+            return gm(im1, im2, attn_splits_list=[2], corr_radius_list=[-1],
+                      prop_radius_list=[-1])["flow_preds"][-1]
+
+    old_flownet = net.flownet
+    net.flownet = RealFlow()
+    try:
+        t = 3
+        x = (rng.random((1, t, 3, 256, 256), dtype=np.float32) - 0.5)
+        with torch.no_grad():
+            ref_flows = net.get_flow(torch.tensor(x))
+        x_jax = jnp.asarray(x.transpose(0, 1, 3, 4, 2))
+        flows = flow_from_clip(gm_tree, x_jax)
+        np.testing.assert_allclose(np.asarray(flows),
+                                   ref_flows.numpy().transpose(0, 1, 3, 4, 2),
+                                   atol=2e-2, rtol=1e-2)
+    finally:
+        net.flownet = old_flownet
+
+
 def test_keep_forward_parity(ref_net_and_tree, cfg, rng):
     net, tree = ref_net_and_tree
     t = 3
