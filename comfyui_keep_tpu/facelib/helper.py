@@ -1,0 +1,295 @@
+"""Face crop/restore/paste orchestrator — rebuild of reference
+wm_facelib/utils/face_restoration_helper.py:18-484.
+
+Host-side geometry (similarity solve, warpAffine, mask morphology) stays on
+numpy/cv2 — it is microseconds per face and exactness vs OpenCV matters for
+parity. The neural pieces (detector, parser) are pluggable device functions:
+
+  detector(img_bgr_u8, conf_threshold) -> (N, 15) [x1,y1,x2,y2,score,lm x10]
+  parser(face_rgb_pm1 (1,512,512,3))   -> (1,512,512,19) class logits
+"""
+from typing import Callable, List, Optional
+
+import numpy as np
+
+try:
+    import cv2
+    _HAVE_CV2 = True
+except ImportError:  # pragma: no cover
+    _HAVE_CV2 = False
+
+from comfyui_keep_tpu.utils.image import (bgr_u8_to_rgb_pm1, is_gray, bgr2gray,
+                                          adain_npy)
+
+# FFHQ 5-point template for 512 crops (face_restoration_helper.py:52-54)
+FFHQ_TEMPLATE_512 = np.array([
+    [192.98138, 239.94708], [318.90277, 240.1936], [256.63416, 314.01935],
+    [201.26117, 371.41043], [313.08905, 371.15118]], dtype=np.float64)
+
+# parse-class keep mask: background/neck/ears/hat excluded
+# (face_restoration_helper.py:430)
+MASK_COLORMAP = [0, 255, 255, 255, 255, 255, 255, 255, 255, 255, 255, 255,
+                 255, 255, 0, 255, 0, 0, 0]
+
+
+def similarity_transform(src: np.ndarray, dst: np.ndarray) -> np.ndarray:
+    """Least-squares 4-DOF similarity (scale/rotation/translation) mapping
+    src -> dst; 2x3 matrix. Equivalent to cv2.estimateAffinePartial2D's
+    model (the LMEDS robust loop is a no-op for 5 clean landmark points)."""
+    src = np.asarray(src, np.float64)
+    dst = np.asarray(dst, np.float64)
+    mean_s = src.mean(0)
+    mean_d = dst.mean(0)
+    src_c = src - mean_s
+    dst_c = dst - mean_d
+    # solve for [a, b]: [[a, -b], [b, a]]
+    denom = (src_c ** 2).sum()
+    a = (src_c * dst_c).sum() / denom
+    b = (src_c[:, 0] * dst_c[:, 1] - src_c[:, 1] * dst_c[:, 0]).sum() / denom
+    rot = np.array([[a, -b], [b, a]])
+    t = mean_d - rot @ mean_s
+    return np.concatenate([rot, t[:, None]], axis=1)
+
+
+def estimate_affine(landmark: np.ndarray, template: np.ndarray) -> Optional[np.ndarray]:
+    if _HAVE_CV2:
+        m = cv2.estimateAffinePartial2D(landmark, template, method=cv2.LMEDS)[0]
+        if m is not None:
+            return m
+    return similarity_transform(landmark, template)
+
+
+def invert_affine(m: np.ndarray) -> np.ndarray:
+    rot = m[:, :2]
+    t = m[:, 2]
+    inv_rot = np.linalg.inv(rot)
+    return np.concatenate([inv_rot, (-inv_rot @ t)[:, None]], axis=1)
+
+
+class FaceRestoreHelper:
+    def __init__(self, upscale_factor: float = 1, face_size: int = 512,
+                 crop_ratio=(1, 1), detector: Optional[Callable] = None,
+                 parser: Optional[Callable] = None, use_parse: bool = True,
+                 pad_blur: bool = False, template_3points: bool = False):
+        assert _HAVE_CV2, "FaceRestoreHelper requires cv2 for host warps"
+        self.upscale_factor = int(upscale_factor)
+        self.crop_ratio = crop_ratio
+        self.face_size = (int(face_size * crop_ratio[1]), int(face_size * crop_ratio[0]))
+        self.detector = detector
+        self.parser = parser
+        self.use_parse = use_parse
+        self.pad_blur = pad_blur
+        if template_3points:
+            self.face_template = np.array([[192, 240], [319, 240], [257, 371]],
+                                          np.float64)
+        else:
+            self.face_template = FFHQ_TEMPLATE_512.copy()
+        self.face_template *= face_size / 512.0
+        if crop_ratio[0] > 1:
+            self.face_template[:, 1] += face_size * (crop_ratio[0] - 1) / 2
+        if crop_ratio[1] > 1:
+            self.face_template[:, 0] += face_size * (crop_ratio[1] - 1) / 2
+        self.is_gray = False
+        self.clean_all()
+
+    def clean_all(self):
+        self.all_landmarks_5: List[np.ndarray] = []
+        self.det_faces: List[np.ndarray] = []
+        self.affine_matrices: List[Optional[np.ndarray]] = []
+        self.inverse_affine_matrices: List[Optional[np.ndarray]] = []
+        self.cropped_faces: List[np.ndarray] = []
+        self.restored_faces: List[np.ndarray] = []
+
+    # -- input ----------------------------------------------------------------
+
+    def read_image(self, img):
+        """16-bit / gray / alpha handling + min-side-512 upscale
+        (face_restoration_helper.py:172-184)."""
+        if isinstance(img, str):
+            img = cv2.imread(img)
+        img = np.asarray(img)
+        if img.max() > 256:
+            img = img / 65535 * 255
+        if img.ndim == 2:
+            img = cv2.cvtColor(img.astype(np.uint8), cv2.COLOR_GRAY2BGR)
+        elif img.shape[2] == 4:
+            img = img[:, :, :3]
+        self.input_img = img
+        self.is_gray = is_gray(img, threshold=10)
+        if min(self.input_img.shape[:2]) < 512:
+            f = 512.0 / min(self.input_img.shape[:2])
+            self.input_img = cv2.resize(self.input_img, (0, 0), fx=f, fy=f,
+                                        interpolation=cv2.INTER_LINEAR)
+
+    # -- detection ------------------------------------------------------------
+
+    @staticmethod
+    def get_center_face(det_faces, h=0, w=0, center=None):
+        if not det_faces:
+            return None, -1
+        center = np.array(center) if center is not None else np.array([w / 2, h / 2])
+        dists = [np.linalg.norm(np.array([(f[0] + f[2]) / 2, (f[1] + f[3]) / 2]) - center)
+                 for f in det_faces]
+        idx = int(np.argmin(dists))
+        return det_faces[idx], idx
+
+    def get_face_landmarks_5(self, only_center_face=False, resize=640,
+                             eye_dist_threshold=None, conf_threshold=0.97):
+        if self.detector is None:
+            raise RuntimeError("no face detector attached")
+        img = self.input_img
+        h, w, _ = img.shape
+        if resize is not None and min(h, w) > resize:
+            scale = resize / min(h, w)
+            hw = (int(w * scale), int(h * scale))
+            interp = cv2.INTER_AREA if scale < 1 else cv2.INTER_LINEAR
+            img = cv2.resize(self.input_img, hw, interpolation=interp)
+            scale_back = h / img.shape[0]
+        else:
+            scale_back = 1.0
+
+        bboxes = self.detector(img, conf_threshold)
+        if bboxes is None or len(bboxes) == 0:
+            return 0
+        bboxes = np.asarray(bboxes) * scale_back
+
+        landmarks, det_faces = [], []
+        for bbox in bboxes:
+            landmark = bbox[5:].reshape(5, 2)
+            if eye_dist_threshold is not None:
+                if np.linalg.norm(landmark[0] - landmark[1]) < eye_dist_threshold:
+                    continue
+            landmarks.append(landmark)
+            det_faces.append(bbox[:5])
+        if not det_faces:
+            return 0
+        if only_center_face:
+            h, w, _ = self.input_img.shape
+            face, idx = self.get_center_face(det_faces, h, w)
+            if idx == -1:
+                return 0
+            self.det_faces = [face]
+            self.all_landmarks_5 = [landmarks[idx]]
+        else:
+            self.det_faces = det_faces
+            self.all_landmarks_5 = landmarks
+        return len(self.all_landmarks_5)
+
+    # -- alignment ------------------------------------------------------------
+
+    def align_warp_face(self, border_mode="constant"):
+        """LMEDS similarity solve -> 512x512 warp with the FFHQ gray border
+        (135,133,132) (face_restoration_helper.py:257-324)."""
+        border = {"constant": cv2.BORDER_CONSTANT,
+                  "reflect101": cv2.BORDER_REFLECT101,
+                  "reflect": cv2.BORDER_REFLECT}[border_mode]
+        for landmark in self.all_landmarks_5:
+            m = estimate_affine(landmark, self.face_template)
+            if m is None:
+                self.cropped_faces.append(
+                    np.zeros((self.face_size[1], self.face_size[0], 3), np.uint8))
+                self.affine_matrices.append(None)
+                continue
+            self.affine_matrices.append(m)
+            cropped = cv2.warpAffine(self.input_img, m, self.face_size,
+                                     borderMode=border,
+                                     borderValue=(135, 133, 132))
+            self.cropped_faces.append(cropped)
+
+    def get_inverse_affine(self):
+        self.inverse_affine_matrices = []
+        for m in self.affine_matrices:
+            if m is None:
+                self.inverse_affine_matrices.append(None)
+                continue
+            self.inverse_affine_matrices.append(invert_affine(m) * self.upscale_factor)
+
+    def add_restored_face(self, restored_face, input_face=None):
+        if self.is_gray:
+            restored_face = bgr2gray(restored_face)
+            if input_face is not None:
+                restored_face = adain_npy(restored_face, input_face)
+        self.restored_faces.append(restored_face)
+
+    # -- paste-back -----------------------------------------------------------
+
+    def _parse_soft_mask(self, face_bgr_u8: np.ndarray) -> np.ndarray:
+        """ParseNet 19-class mask -> double-blurred soft mask in [0,1]
+        (face_restoration_helper.py:417-442)."""
+        face512 = cv2.resize(face_bgr_u8, (512, 512), interpolation=cv2.INTER_LINEAR)
+        x = bgr_u8_to_rgb_pm1(face512)[None]
+        logits = np.asarray(self.parser(x))[0]
+        classes = logits.argmax(axis=-1)
+        mask = np.zeros(classes.shape, np.float32)
+        for idx, v in enumerate(MASK_COLORMAP):
+            mask[classes == idx] = v
+        mask = cv2.GaussianBlur(mask, (101, 101), 11)
+        mask = cv2.GaussianBlur(mask, (101, 101), 11)
+        thres = 10
+        mask[:thres, :] = 0
+        mask[-thres:, :] = 0
+        mask[:, :thres] = 0
+        mask[:, -thres:] = 0
+        return mask / 255.0
+
+    def paste_faces_to_input_image(self, upsample_img=None, draw_box=False,
+                                   face_upsampler=None):
+        h, w, _ = self.input_img.shape
+        h_up, w_up = int(h * self.upscale_factor), int(w * self.upscale_factor)
+        if upsample_img is None:
+            upsample_img = cv2.resize(self.input_img, (w_up, h_up),
+                                      interpolation=cv2.INTER_LINEAR)
+        elif upsample_img.shape[:2] != (h_up, w_up):
+            upsample_img = cv2.resize(upsample_img, (w_up, h_up),
+                                      interpolation=cv2.INTER_LANCZOS4)
+        upsample_img = upsample_img.astype(np.float32)
+
+        borders = []
+        for face, inv_m in zip(self.restored_faces, self.inverse_affine_matrices):
+            if inv_m is None:
+                continue
+            face = face.copy()
+            if face_upsampler is not None:
+                up = face_upsampler(face)
+                face = cv2.resize(up, self.face_size,
+                                  interpolation=cv2.INTER_LANCZOS4)
+            fh, fw = face.shape[:2]
+
+            inv_restored = cv2.warpAffine(face, inv_m, (w_up, h_up))
+            mask = np.ones((fh, fw), np.float32)
+            inv_mask = cv2.warpAffine(mask, inv_m, (w_up, h_up))
+            k = int(2 * self.upscale_factor)
+            inv_mask_erosion = cv2.erode(inv_mask, np.ones((k, k), np.uint8))
+            total_face_area = max(np.sum(inv_mask_erosion), 1)
+
+            if draw_box:
+                mb = np.ones((fh, fw, 3), np.float32)
+                bt = int(1400 / np.sqrt(total_face_area))
+                bt = max(1, min(bt, min(fh, fw) // 20))
+                cv2.rectangle(mb, (bt, bt), (fw - bt - 1, fh - bt - 1), (0, 0, 0), -1)
+                borders.append(cv2.warpAffine(mb, inv_m, (w_up, h_up)))
+
+            w_edge = int(total_face_area ** 0.5) // 20
+            r = max(1, w_edge * 2)
+            inv_mask_center = cv2.erode(inv_mask_erosion, np.ones((r, r), np.uint8))
+            blur = max(1, w_edge * 2)
+            if blur % 2 == 0:
+                blur += 1
+            inv_soft_mask = cv2.GaussianBlur(inv_mask_center, (blur, blur), 0)[..., None]
+
+            if self.use_parse and self.parser is not None:
+                pm = self._parse_soft_mask(face)
+                pm = cv2.resize(pm, (fw, fh))
+                inv_soft_mask = cv2.warpAffine(pm, inv_m, (w_up, h_up),
+                                               flags=cv2.INTER_LINEAR)[..., None]
+
+            upsample_img = inv_soft_mask * inv_restored + \
+                (1 - inv_soft_mask) * upsample_img
+
+        out = np.clip(upsample_img, 0, 255).round().astype(np.uint8)
+        if draw_box:
+            green = np.array([0, 255, 0], out.dtype)
+            for b in borders:
+                sel = np.any(b > 0.5, axis=2)
+                out[sel] = green
+        return out

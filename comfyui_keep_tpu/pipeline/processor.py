@@ -1,0 +1,250 @@
+"""End-to-end face restoration pipeline (reference modules/keep_processor.py).
+
+The device side is a single jitted program per clip length: GMFlow over all
+frame pairs + the full KEEP forward (no host round-trips inside a clip).
+Host side handles cv2 IO conversion, detection orchestration, tracking,
+alignment, and paste-back via FaceRestoreHelper.
+
+Chunk semantics are bit-faithful to the reference: the face stream is split
+into max_clip_length chunks and the recurrent state RESETS per chunk
+(keep_processor.py:263-270); 1-frame chunks are duplicated and the first
+output taken (:266-268). Carried-state mode across chunks is a documented
+extension (carry_state=True), not the parity default.
+"""
+from typing import Callable, Dict, List, Optional
+
+import numpy as np
+
+from comfyui_keep_tpu.utils.image import (
+    bgr_u8_to_rgb_pm1, rgb_pm1_to_bgr_u8, is_gray)
+from comfyui_keep_tpu.pipeline.tracking import (
+    interpolate_sequence, track_faces, smooth_landmark_tracks)
+
+try:
+    import cv2
+    _HAVE_CV2 = True
+except ImportError:  # pragma: no cover
+    _HAVE_CV2 = False
+
+
+class KEEPFaceProcessor:
+    """Holds converted params + jitted restore programs.
+
+    keep_params/keep_cfg: the KEEP network; gmflow_params: optional flow net
+    (zero flows if None — single-image path); face_helper: FaceRestoreHelper
+    with detector/parser attached; upscalers: callables bgr_u8 -> bgr_u8.
+    """
+
+    def __init__(self, keep_params, keep_cfg, gmflow_params=None,
+                 face_helper=None, bg_upscaler: Optional[Callable] = None,
+                 face_upscaler: Optional[Callable] = None, dtype=None):
+        import jax.numpy as jnp
+        self.keep_params = keep_params
+        self.keep_cfg = dict(keep_cfg)
+        self.gmflow_params = gmflow_params
+        self.face_helper = face_helper
+        self.bg_upscaler = bg_upscaler
+        self.face_upscaler = face_upscaler
+        self.dtype = dtype or jnp.float32
+        self.face_size = int(self.keep_cfg.get("img_size", 512))
+        self._fns: Dict[int, Callable] = {}
+
+    # -- device programs ------------------------------------------------------
+
+    def _restore_fn(self, t: int):
+        """Jitted GMFlow+KEEP program for a t-frame clip (compiled once per
+        distinct clip length; a run sees at most 2: max_clip_length and the
+        remainder)."""
+        if t in self._fns:
+            return self._fns[t]
+        import jax
+        from comfyui_keep_tpu.models.keep import KEEP
+        from comfyui_keep_tpu.models.gmflow import flow_from_clip
+        cfg = self.keep_cfg
+        gm = self.gmflow_params
+
+        def fn(keep_params, gm_params, x):
+            flows = flow_from_clip(gm_params, x) if gm is not None else None
+            return KEEP.apply(keep_params, x, flows=flows, remat=False, **cfg)
+
+        jitted = jax.jit(fn)
+        self._fns[t] = jitted
+        return jitted
+
+    def restore_face_stream(self, faces_bgr_u8: List[np.ndarray],
+                            max_clip_length: int = 20) -> List[np.ndarray]:
+        """Restore a flat stream of aligned 512x512 faces, chunked with
+        per-chunk state reset (parity with keep_processor.py:256-275)."""
+        import jax.numpy as jnp
+        n = len(faces_bgr_u8)
+        if n == 0:
+            return []
+        x_all = np.stack([bgr_u8_to_rgb_pm1(f) for f in faces_bgr_u8])
+        outs: List[np.ndarray] = []
+        for start in range(0, n, max_clip_length):
+            clip = x_all[start:start + max_clip_length]
+            dup = clip.shape[0] == 1
+            if dup:
+                clip = np.concatenate([clip, clip], axis=0)
+            t = clip.shape[0]
+            fn = self._restore_fn(t)
+            out = fn(self.keep_params, self.gmflow_params,
+                     jnp.asarray(clip[None], self.dtype))
+            out = np.asarray(out[0], np.float32)
+            if dup:
+                out = out[:1]
+            outs.extend(rgb_pm1_to_bgr_u8(o) for o in out)
+        return outs
+
+    # -- host orchestration ---------------------------------------------------
+
+    def _run_bg(self, img_bgr: np.ndarray, final_upscale_factor: float) -> np.ndarray:
+        up = self.bg_upscaler(img_bgr) if self.bg_upscaler is not None else img_bgr
+        h, w = img_bgr.shape[:2]
+        th, tw = int(h * final_upscale_factor), int(w * final_upscale_factor)
+        if up.shape[:2] != (th, tw):
+            up = cv2.resize(up, (tw, th), interpolation=cv2.INTER_LANCZOS4)
+        return up
+
+    def process_image(self, img_bgr: np.ndarray, final_upscale_factor: float = 1.0,
+                      has_aligned: bool = False, only_center_face: bool = False,
+                      draw_box: bool = False) -> np.ndarray:
+        """Single-image restore (keep_processor.py:134-194)."""
+        helper = self.face_helper
+        bg_final = self._run_bg(img_bgr, final_upscale_factor)
+
+        if has_aligned:
+            face512 = cv2.resize(img_bgr, (self.face_size, self.face_size),
+                                 interpolation=cv2.INTER_LINEAR)
+            restored = self.restore_face_stream([face512], max_clip_length=2)[0]
+            if is_gray(face512, threshold=10):
+                from comfyui_keep_tpu.utils.image import bgr2gray
+                restored = bgr2gray(restored)
+            if self.face_upscaler is not None:
+                restored = self.face_upscaler(restored)
+            th = int(self.face_size * final_upscale_factor)
+            if restored.shape[0] != th:
+                restored = cv2.resize(restored, (th, th),
+                                      interpolation=cv2.INTER_LANCZOS4)
+            return restored
+
+        if helper is None:
+            raise RuntimeError("unaligned path requires a face_helper with detector")
+        helper.upscale_factor = final_upscale_factor
+        helper.clean_all()
+        helper.read_image(img_bgr)
+        n = helper.get_face_landmarks_5(only_center_face=only_center_face,
+                                        resize=640, eye_dist_threshold=5)
+        if n == 0:
+            return bg_final
+        helper.align_warp_face()
+        if not helper.cropped_faces:
+            return bg_final
+        restored = self.restore_face_stream(list(helper.cropped_faces),
+                                            max_clip_length=2)
+        helper.restored_faces = [f.astype(np.uint8) for f in restored]
+        helper.get_inverse_affine()
+        return helper.paste_faces_to_input_image(
+            upsample_img=bg_final, draw_box=draw_box,
+            face_upsampler=self.face_upscaler)
+
+    def process_image_sequence(self, frames_bgr: List[np.ndarray],
+                               final_upscale_factor: float = 1.0,
+                               has_aligned_frames: bool = False,
+                               only_center_face: bool = False,
+                               draw_box: bool = False,
+                               max_clip_length: int = 20,
+                               progress: Optional[Callable] = None) -> List[np.ndarray]:
+        """4-stage sequence restore (keep_processor.py:196-307): detect all →
+        track+smooth → batch-restore in chunks → per-frame paste-back."""
+        helper = self.face_helper
+        n_frames = len(frames_bgr)
+        if n_frames == 0:
+            return []
+
+        smoothed: Dict[int, np.ndarray] = {}
+        if not has_aligned_frames:
+            if helper is None:
+                raise RuntimeError("unaligned path requires a face_helper")
+            raw: List[List[np.ndarray]] = []
+            for i in range(n_frames):
+                helper.clean_all()
+                helper.read_image(frames_bgr[i])
+                helper.get_face_landmarks_5(only_center_face=only_center_face,
+                                            resize=640, eye_dist_threshold=5)
+                raw.append(list(helper.all_landmarks_5))
+                if progress:
+                    progress(1)
+
+            if only_center_face:
+                seq = [lms[0] if lms else np.full((5, 2), np.nan) for lms in raw]
+                arr = np.array([lm.reshape(10) for lm in seq])
+                for j in range(10):
+                    arr[:, j] = interpolate_sequence(arr[:, j])
+                from comfyui_keep_tpu.pipeline.tracking import _HAVE_SCIPY
+                if _HAVE_SCIPY:
+                    from scipy.ndimage import gaussian_filter1d
+                    arr = gaussian_filter1d(arr, sigma=2, axis=0)
+                smoothed[0] = arr.reshape(n_frames, 5, 2)
+            elif any(raw):
+                tracks = track_faces(raw)
+                smoothed = smooth_landmark_tracks(tracks, n_frames, sigma=2.0)
+
+        # stage 2: crop/align all frames
+        all_faces: List[np.ndarray] = []
+        all_affines: List[np.ndarray] = []
+        counts: List[int] = []
+        for i in range(n_frames):
+            faces_i: List[np.ndarray] = []
+            affines_i: List[np.ndarray] = []
+            if not has_aligned_frames:
+                active = [seq[i] for seq in smoothed.values()
+                          if not np.isnan(seq[i]).any()]
+                if active:
+                    helper.clean_all()
+                    helper.read_image(frames_bgr[i])
+                    helper.all_landmarks_5 = active
+                    helper.align_warp_face()
+                    faces_i.extend(helper.cropped_faces)
+                    affines_i.extend(helper.affine_matrices)
+            else:
+                faces_i.append(cv2.resize(frames_bgr[i],
+                               (self.face_size, self.face_size),
+                               interpolation=cv2.INTER_LINEAR))
+            counts.append(len(faces_i))
+            all_faces.extend(faces_i)
+            all_affines.extend(affines_i)
+            if progress:
+                progress(1)
+
+        # stage 3: batched KEEP restore over the flattened face stream
+        restored = self.restore_face_stream(all_faces, max_clip_length) \
+            if all_faces else []
+
+        # stage 4: per-frame bg upscale + paste
+        out_frames: List[np.ndarray] = []
+        fidx = 0
+        for i in range(n_frames):
+            bg_final = self._run_bg(frames_bgr[i], final_upscale_factor)
+            c = counts[i]
+            if c == 0 or has_aligned_frames:
+                out_frames.append(bg_final)
+                fidx += c
+                if progress:
+                    progress(2)
+                continue
+            helper.clean_all()
+            helper.input_img = frames_bgr[i]
+            helper.is_gray = is_gray(frames_bgr[i], threshold=10)
+            helper.restored_faces = [f.astype(np.uint8)
+                                     for f in restored[fidx:fidx + c]]
+            helper.affine_matrices = all_affines[fidx:fidx + c]
+            helper.upscale_factor = final_upscale_factor
+            helper.get_inverse_affine()
+            out_frames.append(helper.paste_faces_to_input_image(
+                upsample_img=bg_final, draw_box=draw_box,
+                face_upsampler=self.face_upscaler))
+            fidx += c
+            if progress:
+                progress(2)
+        return out_frames

@@ -1,0 +1,133 @@
+"""Pipeline/API tests on a tiny KEEP config (fast on CPU)."""
+import numpy as np
+import pytest
+
+cv2 = pytest.importorskip("cv2")
+
+from comfyui_keep_tpu import api
+from comfyui_keep_tpu.pipeline import tracking
+
+TINY = dict(img_size=64, nf=32, ch_mult=(1, 2, 2), res_blocks=2,
+            attn_resolutions=(16,), codebook_size=64, emb_dim=32, dim_embd=64,
+            n_head=8, n_layers=2, latent_size=256, cft_list=("32", "64"),
+            cfa_list=("16",), cfa_nhead=2, cfa_dim=16, kalman_attn_head_dim=8,
+            num_uncertainty_layers=1, temp_reg_list=())
+
+
+@pytest.fixture(scope="module")
+def pack():
+    # random-weight pack, no flow net needed beyond zero flows: keep gmflow
+    # out to exercise the flows=None path quickly
+    p = api.load_models("KEEP", use_cache=False, cfg_overrides=TINY)
+    p.gmflow_params = None
+    return p
+
+
+def test_single_image_aligned(pack, rng):
+    img = (rng.random((100, 80, 3)) * 255).astype(np.uint8)
+    out = api.restore_image(pack, img, final_upscale_factor=1.0, has_aligned=True)
+    assert out.shape == (64, 64, 3) and out.dtype == np.uint8
+
+
+def test_single_image_aligned_upscale(pack, rng):
+    img = (rng.random((64, 64, 3)) * 255).astype(np.uint8)
+    out = api.restore_image(pack, img, final_upscale_factor=2.0, has_aligned=True)
+    assert out.shape == (128, 128, 3)
+
+
+def test_sequence_aligned_chunked(pack, rng):
+    frames = [(rng.random((64, 64, 3)) * 255).astype(np.uint8) for _ in range(5)]
+    out = api.restore_sequence(pack, frames, has_aligned_frames=True,
+                               max_clip_length=3)
+    assert len(out) == 5
+    assert all(f.shape == (64, 64, 3) for f in out)
+
+
+def test_chunk_reset_semantics(pack, rng):
+    """Chunked restore must equal restoring each chunk independently
+    (per-chunk state reset, keep_processor.py:263-270)."""
+    proc = pack.processor()
+    faces = [(rng.random((64, 64, 3)) * 255).astype(np.uint8) for _ in range(5)]
+    chunked = proc.restore_face_stream(faces, max_clip_length=3)
+    manual = proc.restore_face_stream(faces[:3], max_clip_length=3) + \
+        proc.restore_face_stream(faces[3:], max_clip_length=3)
+    for a, b in zip(chunked, manual):
+        np.testing.assert_array_equal(a, b)
+
+
+def test_one_frame_remainder_duplicates(pack, rng):
+    """A trailing 1-frame chunk uses the duplicate-frame trick (:266-268)."""
+    proc = pack.processor()
+    faces = [(rng.random((64, 64, 3)) * 255).astype(np.uint8) for _ in range(4)]
+    out = proc.restore_face_stream(faces, max_clip_length=3)
+    assert len(out) == 4
+    single = proc.restore_face_stream(faces[3:], max_clip_length=3)
+    np.testing.assert_array_equal(out[3], single[0])
+
+
+def test_no_faces_returns_bg(pack, rng):
+    img = (rng.random((70, 90, 3)) * 255).astype(np.uint8)
+    from comfyui_keep_tpu.facelib.helper import FaceRestoreHelper
+    pack.face_helper = FaceRestoreHelper(
+        detector=lambda im, conf: np.zeros((0, 15), np.float32), use_parse=False)
+    out = api.restore_image(pack, img, final_upscale_factor=1.0, has_aligned=False)
+    np.testing.assert_array_equal(out, img)
+
+
+class TestTracking:
+    def test_interpolate(self):
+        seq = np.array([1.0, np.nan, 3.0])
+        np.testing.assert_allclose(tracking.interpolate_sequence(seq), [1, 2, 3])
+
+    def test_track_single_face(self):
+        lm = lambda cx: np.full((5, 2), cx, dtype=np.float64)
+        frames = [[lm(10)], [lm(12)], [lm(14)]]
+        tracks = tracking.track_faces(frames)
+        assert len(tracks) == 1
+        assert len(tracks[0]) == 3
+
+    def test_track_two_faces_with_gap(self):
+        # Reference semantics: a track is only matchable while present in the
+        # immediately previous frame — a 1-frame dropout ends the track and
+        # the reappearing face starts a NEW track (keep_processor.py:74-82).
+        lm = lambda cx: np.full((5, 2), cx, dtype=np.float64)
+        frames = [[lm(10), lm(200)], [lm(11)], [lm(12), lm(201)]]
+        tracks = tracking.track_faces(frames)
+        assert len(tracks) == 3
+        b = [t for t in tracks.values() if t[0][0, 0] == 200][0]
+        assert np.all(np.isnan(b[1])) and np.all(np.isnan(b[2]))
+        # every track padded to full length
+        assert all(len(t) == 3 for t in tracks.values())
+
+    def test_track_distance_threshold_starts_new_track(self):
+        lm = lambda cx: np.full((5, 2), cx, dtype=np.float64)
+        frames = [[lm(10)], [lm(500)]]
+        tracks = tracking.track_faces(frames)
+        assert len(tracks) == 2
+
+    def test_smooth_tracks(self):
+        lm = lambda cx: np.full((5, 2), cx, dtype=np.float64)
+        frames = [[lm(10)], [lm(20)], [lm(30)]]
+        tracks = tracking.track_faces(frames)
+        sm = tracking.smooth_landmark_tracks(tracks, 3)
+        assert sm[0].shape == (3, 5, 2)
+        assert np.all(np.isfinite(sm[0]))
+
+
+class TestHelperGeometry:
+    def test_similarity_matches_cv2(self, rng):
+        from comfyui_keep_tpu.facelib.helper import (similarity_transform,
+                                                     FFHQ_TEMPLATE_512)
+        src = FFHQ_TEMPLATE_512 + rng.standard_normal((5, 2)) * 3
+        ours = similarity_transform(src, FFHQ_TEMPLATE_512)
+        ref = cv2.estimateAffinePartial2D(src, FFHQ_TEMPLATE_512,
+                                          method=cv2.LMEDS)[0]
+        # LMEDS does a robust re-weighting pass; on clean landmarks it agrees
+        # with the closed-form similarity solve to ~2e-5 (≈0.01px over 512)
+        np.testing.assert_allclose(ours, ref, atol=1e-3)
+
+    def test_invert_affine_matches_cv2(self, rng):
+        from comfyui_keep_tpu.facelib.helper import invert_affine
+        m = np.array([[1.2, 0.3, 10.0], [-0.3, 1.2, -5.0]])
+        np.testing.assert_allclose(invert_affine(m),
+                                   cv2.invertAffineTransform(m), atol=1e-8)
