@@ -1,0 +1,158 @@
+"""Golden parity for the face toolkit nets (ParseNet, RetinaFace components)."""
+import numpy as np
+import pytest
+import jax
+import jax.numpy as jnp
+
+from tests import reference_oracle as oracle
+
+torch = pytest.importorskip("torch")
+
+pytestmark = pytest.mark.skipif(not oracle.reference_available(),
+                                reason="reference repo not mounted")
+
+FACELIB = "/root/reference/modules/deps/wm_facelib"
+
+
+def _load(name, path):
+    return oracle._module_from_file(name, path)
+
+
+class TestParseNet:
+    @pytest.fixture(scope="class")
+    def nets(self):
+        from comfyui_keep_tpu.models.parsenet import (ParseNet,
+                                                      convert_parsenet_checkpoint)
+        ref_mod = _load("ref_parsenet", f"{FACELIB}/parsing/parsenet.py")
+        torch.manual_seed(0)
+        # full-size config (init_parsing_model: in_size=512, out_size=512)
+        net = ref_mod.ParseNet(in_size=512, out_size=512).eval()
+        sd = {k: v.detach().numpy() for k, v in net.state_dict().items()}
+        tree = convert_parsenet_checkpoint(sd)
+        return net, tree, ParseNet
+
+    def test_param_count(self, nets):
+        net, tree, _ = nets
+        n_ref = sum(p.numel() for p in net.parameters()) + \
+            sum(b.numel() for b in net.buffers() if b.ndim > 0)
+        n_ours = sum(x.size for x in jax.tree.leaves(tree))
+        assert n_ours == n_ref
+
+    def test_forward_parity(self, nets, rng):
+        net, tree, ParseNet = nets
+        x = rng.standard_normal((1, 512, 512, 3), dtype=np.float32) * 0.5
+        with torch.no_grad():
+            ref_mask, ref_img = net(torch.tensor(x.transpose(0, 3, 1, 2)))
+        mask, img = ParseNet.apply(tree, jnp.asarray(x))
+        np.testing.assert_allclose(np.asarray(mask),
+                                   ref_mask.numpy().transpose(0, 2, 3, 1),
+                                   atol=2e-3, rtol=1e-2)
+        # argmax classes identical (what the paste mask uses)
+        np.testing.assert_array_equal(np.asarray(mask).argmax(-1),
+                                      ref_mask.numpy().argmax(1))
+
+
+class TestRetinaFaceComponents:
+    @pytest.fixture(scope="class")
+    def ref_net_mod(self):
+        return _load("ref_retinaface_net", f"{FACELIB}/detection/retinaface/retinaface_net.py")
+
+    @pytest.fixture(scope="class")
+    def ref_utils_mod(self):
+        oracle._install_stubs_arch_util()  # provides torchvision stub
+        return _load("ref_retinaface_utils", f"{FACELIB}/detection/retinaface/retinaface_utils.py")
+
+    def test_mobilenet_parity(self, ref_net_mod, rng):
+        from comfyui_keep_tpu.models.retinaface import (mobilenet_init,
+                                                        mobilenet_features)
+        from comfyui_keep_tpu.utils.checkpoint import convert_state_dict
+        torch.manual_seed(0)
+        net = ref_net_mod.MobileNetV1().eval()
+        sd = {k: v.detach().numpy() for k, v in net.state_dict().items()
+              if not k.startswith("fc.")}
+        tree = convert_state_dict(sd)
+        x = rng.standard_normal((1, 64, 64, 3), dtype=np.float32)
+        xt = torch.tensor(x.transpose(0, 3, 1, 2))
+        with torch.no_grad():
+            f1 = net.stage1(xt)
+            f2 = net.stage2(f1)
+            f3 = net.stage3(f2)
+        ours = mobilenet_features({k: tree[k] for k in ("stage1", "stage2", "stage3")},
+                                  jnp.asarray(x))
+        for o, r in zip(ours, (f1, f2, f3)):
+            np.testing.assert_allclose(np.asarray(o),
+                                       r.numpy().transpose(0, 2, 3, 1),
+                                       atol=1e-4, rtol=1e-3)
+
+    def test_fpn_ssh_parity(self, ref_net_mod, rng):
+        from comfyui_keep_tpu.models.retinaface import (_fpn_init, _fpn,
+                                                        _ssh_init, _ssh)
+        from comfyui_keep_tpu.utils.checkpoint import convert_state_dict
+        torch.manual_seed(1)
+        fpn = ref_net_mod.FPN([64, 128, 256], 64).eval()
+        ssh = ref_net_mod.SSH(64, 64).eval()
+        fpn_tree = convert_state_dict({k: v.numpy() for k, v in fpn.state_dict().items()})
+        ssh_tree = convert_state_dict({k: v.numpy() for k, v in ssh.state_dict().items()})
+        feats = [rng.standard_normal((1, s, s, c), dtype=np.float32)
+                 for s, c in ((16, 64), (8, 128), (4, 256))]
+        tfeats = [torch.tensor(f.transpose(0, 3, 1, 2)) for f in feats]
+        with torch.no_grad():
+            ref_fpn = fpn(tfeats)
+            ref_ssh = ssh(ref_fpn[0])
+        ours_fpn = _fpn(fpn_tree, [jnp.asarray(f) for f in feats], leaky=0.1)
+        for o, r in zip(ours_fpn, ref_fpn):
+            np.testing.assert_allclose(np.asarray(o), r.numpy().transpose(0, 2, 3, 1),
+                                       atol=1e-4, rtol=1e-3)
+        ours_ssh = _ssh(ssh_tree, ours_fpn[0], leaky=0.1)
+        np.testing.assert_allclose(np.asarray(ours_ssh),
+                                   ref_ssh.numpy().transpose(0, 2, 3, 1),
+                                   atol=1e-4, rtol=1e-3)
+
+    def test_priors_and_decode_parity(self, ref_utils_mod, rng):
+        from comfyui_keep_tpu.models.retinaface import (prior_box, decode_boxes,
+                                                        decode_landms, CFG)
+        cfg = dict(CFG["resnet50"])
+        ref_pb = ref_utils_mod.PriorBox(
+            {"min_sizes": cfg["min_sizes"], "steps": cfg["steps"], "clip": False},
+            image_size=(96, 128)).forward()
+        ours_pb = prior_box(cfg, (96, 128))
+        np.testing.assert_allclose(ours_pb, ref_pb.numpy(), atol=1e-6)
+
+        n = ours_pb.shape[0]
+        loc = rng.standard_normal((n, 4), dtype=np.float32) * 0.3
+        pre = rng.standard_normal((n, 10), dtype=np.float32) * 0.3
+        ref_boxes = ref_utils_mod.decode(torch.tensor(loc), ref_pb, [0.1, 0.2])
+        ref_landms = ref_utils_mod.decode_landm(torch.tensor(pre), ref_pb, [0.1, 0.2])
+        np.testing.assert_allclose(np.asarray(decode_boxes(jnp.asarray(loc), jnp.asarray(ours_pb), [0.1, 0.2])),
+                                   ref_boxes.numpy(), atol=1e-5)
+        np.testing.assert_allclose(np.asarray(decode_landms(jnp.asarray(pre), jnp.asarray(ours_pb), [0.1, 0.2])),
+                                   ref_landms.numpy(), atol=1e-5)
+
+    def test_nms(self):
+        from comfyui_keep_tpu.models.retinaface import nms_numpy
+        dets = np.array([
+            [0, 0, 10, 10, 0.9],
+            [1, 1, 11, 11, 0.8],   # IoU ~0.68 with first -> suppressed at 0.4
+            [20, 20, 30, 30, 0.7],
+        ], np.float32)
+        assert nms_numpy(dets, 0.4) == [0, 2]
+
+    def test_detector_fn_end_to_end_shapes(self, rng):
+        """Random-weight mobile0.25 detector through the full host+device
+        pipeline (no semantic check without real weights)."""
+        from comfyui_keep_tpu.models.retinaface import RetinaFace, make_detector_fn
+        params = RetinaFace.init(jax.random.PRNGKey(0), network="mobile0.25")
+        det = make_detector_fn(params, network="mobile0.25", jit=False)
+        img = (rng.random((64, 96, 3)) * 255).astype(np.uint8)
+        out = det(img, conf_threshold=0.0)  # accept everything pre-NMS
+        assert out.ndim == 2 and out.shape[1] == 15
+
+
+def test_resnet50_shapes(rng):
+    from comfyui_keep_tpu.models.resnet import resnet50_init, resnet50_features
+    p = resnet50_init(jax.random.PRNGKey(0))
+    x = jnp.asarray(rng.standard_normal((1, 64, 64, 3), dtype=np.float32))
+    f2, f3, f4 = resnet50_features(p, x)
+    assert f2.shape == (1, 8, 8, 512)
+    assert f3.shape == (1, 4, 4, 1024)
+    assert f4.shape == (1, 2, 2, 2048)
