@@ -6,6 +6,10 @@ from comfyui_keep_tpu.utils.registry import ARCH_REGISTRY
 from comfyui_keep_tpu.models import vqgan  # noqa: F401
 from comfyui_keep_tpu.models import keep  # noqa: F401
 from comfyui_keep_tpu.models import gmflow  # noqa: F401
+from comfyui_keep_tpu.models import sr_basic  # noqa: F401
+from comfyui_keep_tpu.models import parsenet  # noqa: F401
+from comfyui_keep_tpu.models import retinaface  # noqa: F401
+from comfyui_keep_tpu.models import vgg  # noqa: F401
 
 
 def build_network(name: str):

@@ -82,6 +82,17 @@ def grid_sample(img, grid, mode: str = "bilinear", padding_mode: str = "zeros",
     return top * (1 - wy) + bot * wy
 
 
+def resize_flow(flow, out_hw, interp_mode: str = "bilinear",
+                align_corners: bool = False):
+    """Resize (N, H, W, 2) flow to out_hw, rescaling displacement magnitudes
+    (arch_util.py:148-182)."""
+    from comfyui_keep_tpu.ops.resample import resize_bilinear
+    h, w = flow.shape[1], flow.shape[2]
+    ratio = jnp.asarray([out_hw[1] / w, out_hw[0] / h], flow.dtype)
+    flow = flow * ratio
+    return resize_bilinear(flow, out_hw, align_corners=align_corners)
+
+
 def flow_warp(x, flow, interp_mode: str = "bilinear", padding_mode: str = "zeros",
               align_corners: bool = True):
     """Warp (N, H, W, C) by flow (N, H, W, 2) [dx, dy] — arch_util.py:113-144."""

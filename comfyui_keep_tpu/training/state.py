@@ -1,0 +1,135 @@
+"""Training state: params / optimizer / EMA / bookkeeping, with
+checkpoint-save-resume (reference base_model.py:75-82, 207-365).
+
+Serialization: orbax when available, .npz flat fallback — both formats carry
+`params` and `params_ema` keys like the reference .pth convention.
+"""
+import os
+import time
+from dataclasses import dataclass, field
+from typing import Any, Callable, Dict, Optional
+
+import numpy as np
+
+from comfyui_keep_tpu.utils.checkpoint import save_npz, load_npz
+
+
+def ema_update(ema_params, params, decay: float):
+    """model_ema (base_model.py:75-82): ema = ema*decay + p*(1-decay)."""
+    import jax
+    return jax.tree.map(lambda e, p: e * decay + p * (1.0 - decay),
+                        ema_params, params)
+
+
+@dataclass
+class TrainState:
+    params: Any
+    opt_state: Any
+    ema_params: Any = None
+    epoch: int = 0
+    iter: int = 0
+
+    def save(self, net_dir: str, state_dir: str, current_iter: int,
+             retry: int = 3):
+        """Networks + training state, with IO retry (base_model.py:237-252)."""
+        import jax
+        os.makedirs(net_dir, exist_ok=True)
+        os.makedirs(state_dir, exist_ok=True)
+        host = jax.tree.map(np.asarray, {"params": self.params})
+        if self.ema_params is not None:
+            host["params_ema"] = jax.tree.map(np.asarray, self.ema_params)
+        net_path = os.path.join(net_dir, f"net_g_{current_iter}.npz")
+        state_path = os.path.join(state_dir, f"{current_iter}.state.npz")
+        for attempt in range(retry):
+            try:
+                save_npz(net_path, host)
+                save_npz(state_path, {
+                    "opt_state": jax.tree.map(np.asarray, _fil(self.opt_state)),
+                    "meta": {"epoch": np.asarray(self.epoch),
+                             "iter": np.asarray(current_iter)},
+                })
+                return net_path, state_path
+            except IOError:  # pragma: no cover
+                if attempt == retry - 1:
+                    raise
+                time.sleep(1)
+
+    @staticmethod
+    def latest_state(state_dir: str) -> Optional[str]:
+        """auto_resume scan (train.py:68-88)."""
+        if not os.path.isdir(state_dir):
+            return None
+        states = [f for f in os.listdir(state_dir) if f.endswith(".state.npz")]
+        if not states:
+            return None
+        iters = [int(f.split(".")[0]) for f in states]
+        return os.path.join(state_dir, f"{max(iters)}.state.npz")
+
+    def resume(self, state_path: str):
+        data = load_npz(state_path)
+        self.epoch = int(np.asarray(data["meta"]["epoch"]))
+        self.iter = int(np.asarray(data["meta"]["iter"]))
+        return data.get("opt_state")
+
+
+def _fil(tree):
+    """Replace non-array leaves (e.g. optax count scalars are arrays already)."""
+    import jax
+    return jax.tree.map(lambda x: np.asarray(x), tree)
+
+
+def load_network_npz(path: str, prefer_ema: bool = True):
+    data = load_npz(path)
+    if prefer_ema and "params_ema" in data:
+        return data["params_ema"]
+    return data.get("params", data)
+
+
+def build_optimizer(opt: Dict, schedule: Optional[Callable] = None):
+    """Optimizer factory (base_model.py:103-120 — Adam/AdamW/Adamax/SGD/
+    ASGD/RMSprop/Rprop) on optax."""
+    import optax
+    opt = dict(opt)
+    t = opt.pop("type", "Adam")
+    base_lr = opt.pop("lr", 1e-4)
+    lr_fn = (lambda step: base_lr * schedule(step)) if schedule else base_lr
+    betas = opt.pop("betas", (0.9, 0.999))
+    wd = opt.pop("weight_decay", 0.0)
+    if t == "Adam":
+        tx = optax.adam(lr_fn, b1=betas[0], b2=betas[1])
+        if wd:
+            tx = optax.chain(optax.add_decayed_weights(wd), tx)
+    elif t == "AdamW":
+        tx = optax.adamw(lr_fn, b1=betas[0], b2=betas[1], weight_decay=wd)
+    elif t == "Adamax":
+        tx = optax.adamax(lr_fn, b1=betas[0], b2=betas[1])
+    elif t == "SGD":
+        tx = optax.sgd(lr_fn, momentum=opt.pop("momentum", 0.0))
+    elif t == "ASGD":
+        tx = optax.sgd(lr_fn)
+    elif t == "RMSprop":
+        tx = optax.rmsprop(lr_fn, momentum=opt.pop("momentum", 0.0))
+    elif t == "Rprop":
+        tx = optax.rprop(base_lr)
+    else:
+        raise NotImplementedError(f"optimizer {t}")
+    return tx
+
+
+def freeze_mask(params, frozen_prefixes):
+    """optax mask marking frozen subtrees (fix_modules semantics,
+    keep_arch.py:970-973 / keep_model.py:100-121)."""
+    import jax
+
+    def mark(path, _):
+        top = path[0].key if hasattr(path[0], "key") else str(path[0])
+        return "frozen" if top in frozen_prefixes else "trainable"
+
+    return jax.tree_util.tree_map_with_path(mark, params)
+
+
+def masked_optimizer(tx, params, frozen_prefixes):
+    import optax
+    mask = freeze_mask(params, frozen_prefixes)
+    return optax.multi_transform(
+        {"trainable": tx, "frozen": optax.set_to_zero()}, mask)

@@ -1,0 +1,406 @@
+"""Model trainers — TPU-native equivalents of the reference model wrappers
+(models/sr_model.py, keep_model.py, keep_gan_model.py, video_*_model.py).
+
+Design: each trainer owns pure loss functions + ONE jitted train step, data-
+parallel over a jax.sharding Mesh (the DDP replacement, SURVEY.md §2.10):
+params replicated, batch sharded on axis 'data', gradients reduced by XLA
+(implicit psum from the sharding). EMA, LR schedules, checkpoint/resume live
+in training/state.py.
+"""
+from typing import Any, Callable, Dict, Optional
+
+import numpy as np
+
+import comfyui_keep_tpu.models  # noqa: F401 — populate ARCH_REGISTRY
+
+from comfyui_keep_tpu.training.losses import build_loss
+from comfyui_keep_tpu.training.schedulers import build_scheduler, with_warmup
+from comfyui_keep_tpu.training.state import (TrainState, build_optimizer,
+                                             ema_update, masked_optimizer)
+from comfyui_keep_tpu.utils.registry import MODEL_REGISTRY
+
+
+def _make_mesh(n_devices: Optional[int] = None):
+    import jax
+    from jax.sharding import Mesh
+    devs = jax.devices() if n_devices is None else jax.devices()[:n_devices]
+    return Mesh(np.array(devs), ("data",))
+
+
+class BaseTrainer:
+    """Shared plumbing (reference BaseModel, models/base_model.py:13-392)."""
+
+    def __init__(self, opt: Dict, mesh=None):
+        self.opt = opt
+        self.mesh = mesh
+        train_opt = opt.get("train", {})
+        self.ema_decay = train_opt.get("ema_decay", 0)
+        sched_opt = train_opt.get("scheduler")
+        self.schedule = None
+        if sched_opt:
+            self.schedule = with_warmup(build_scheduler(sched_opt),
+                                        train_opt.get("warmup_iter", -1))
+        self._step_fn = None
+
+    # subclasses define: init_params(key), loss_fn(params, batch, rngs)
+    def make_state(self, key) -> TrainState:
+        import jax
+        params = self.init_params(key)
+        tx = self.make_optimizer(params)
+        self.tx = tx
+        opt_state = tx.init(params)
+        ema = jax.tree.map(lambda x: x, params) if self.ema_decay > 0 else None
+        return TrainState(params=params, opt_state=opt_state, ema_params=ema)
+
+    def make_optimizer(self, params):
+        train_opt = self.opt.get("train", {})
+        tx = build_optimizer(dict(train_opt.get("optim_g", {"type": "Adam", "lr": 1e-4})),
+                             schedule=self.schedule)
+        frozen = tuple(self.opt.get("network_g", {}).get("fix_modules", ()) or ())
+        if frozen:
+            tx = masked_optimizer(tx, params, frozen)
+        return tx
+
+    def train_step(self, state: TrainState, batch, rng=None):
+        import jax
+        import optax
+        if self._step_fn is None:
+            def step(params, opt_state, ema, batch, rng):
+                (loss, loss_dict), grads = jax.value_and_grad(
+                    self.loss_fn, has_aux=True)(params, batch, rng)
+                updates, opt_state = self.tx.update(grads, opt_state, params)
+                params = optax.apply_updates(params, updates)
+                if ema is not None:
+                    ema = ema_update(ema, params, self.ema_decay)
+                return params, opt_state, ema, loss_dict
+
+            if self.mesh is not None:
+                from jax.sharding import NamedSharding, PartitionSpec as P
+                repl = NamedSharding(self.mesh, P())
+                dp = NamedSharding(self.mesh, P("data"))
+                self._step_fn = jax.jit(
+                    step, in_shardings=(repl, repl, repl, dp, repl),
+                    out_shardings=(repl, repl, repl, repl))
+            else:
+                self._step_fn = jax.jit(step)
+        import jax as _j
+        rng = rng if rng is not None else _j.random.PRNGKey(state.iter)
+        params, opt_state, ema, loss_dict = self._step_fn(
+            state.params, state.opt_state, state.ema_params, batch, rng)
+        state.params, state.opt_state, state.ema_params = params, opt_state, ema
+        state.iter += 1
+        return state, {k: float(v) for k, v in loss_dict.items()}
+
+
+@MODEL_REGISTRY.register(name="SRModel")
+class SRTrainer(BaseTrainer):
+    """Single-image SR trainer (models/sr_model.py:15-279): pixel +
+    perceptual losses; test() with optional x8 self-ensemble."""
+
+    def __init__(self, opt, mesh=None, feature_fn=None):
+        super().__init__(opt, mesh)
+        train_opt = opt.get("train", {})
+        self.cri_pix = build_loss(train_opt["pixel_opt"]) \
+            if train_opt.get("pixel_opt") else None
+        self.cri_perceptual = None
+        if train_opt.get("perceptual_opt"):
+            self.cri_perceptual = build_loss(train_opt["perceptual_opt"],
+                                             feature_fn=feature_fn)
+        net = dict(opt["network_g"])
+        from comfyui_keep_tpu.utils.registry import ARCH_REGISTRY
+        self.arch = ARCH_REGISTRY.get(net.pop("type"))
+        net.pop("fix_modules", None)
+        self.net_cfg = net
+
+    def init_params(self, key):
+        return self.arch.init(key, **self.net_cfg)
+
+    def forward(self, params, lq):
+        return self.arch.apply(params, lq, **{
+            k: v for k, v in self.net_cfg.items()
+            if k in ("upscale", "scale", "act_type")})
+
+    def loss_fn(self, params, batch, rng):
+        import jax.numpy as jnp
+        out = self.forward(params, batch["lq"])
+        total = 0.0
+        loss_dict = {}
+        if self.cri_pix is not None:
+            l_pix = self.cri_pix(out, batch["gt"])
+            total += l_pix
+            loss_dict["l_pix"] = l_pix
+        if self.cri_perceptual is not None:
+            l_p, l_s = self.cri_perceptual(out, batch["gt"])
+            if l_p is not None:
+                total += l_p
+                loss_dict["l_percep"] = l_p
+            if l_s is not None:
+                total += l_s
+                loss_dict["l_style"] = l_s
+        loss_dict["l_total"] = total
+        return total, loss_dict
+
+    def test_selfensemble(self, params, lq):
+        """x8 flip/transpose ensemble (sr_model.py self-ensemble)."""
+        outs = []
+
+        def tf(x, hf, vf, tr):
+            if hf:
+                x = x[:, :, ::-1]
+            if vf:
+                x = x[:, ::-1]
+            if tr:
+                x = x.transpose(0, 2, 1, 3)
+            return x
+
+        for hf in (False, True):
+            for vf in (False, True):
+                for tr in (False, True):
+                    y = self.forward(params, tf(lq, hf, vf, tr))
+                    if tr:
+                        y = y.transpose(0, 2, 1, 3)
+                    if vf:
+                        y = y[:, ::-1]
+                    if hf:
+                        y = y[:, :, ::-1]
+                    outs.append(y)
+        return sum(outs) / len(outs)
+
+
+@MODEL_REGISTRY.register(name="KEEPModel")
+class KEEPTrainer(BaseTrainer):
+    """KEEP stage II/III trainer (models/keep_model.py:17-242).
+
+    Losses: HQ-feat codebook L2 (:147-154), cross-entropy on codebook logits
+    vs frozen VQHQEncoder GT indices (:127-133, 157-162), temporal
+    flow-warped feature consistency over gen_feat_dict (:165-210), pixel,
+    perceptual (:213-234).
+    """
+
+    def __init__(self, opt, mesh=None, feature_fn=None,
+                 hq_vqgan_params=None, gmflow_params=None):
+        super().__init__(opt, mesh)
+        from comfyui_keep_tpu.models.keep import KEEP
+        self.KEEP = KEEP
+        cfg = dict(opt["network_g"])
+        cfg.pop("type", None)
+        self.fix_modules = tuple(cfg.pop("fix_modules", ("quantize", "generator")))
+        self.cfg = KEEP.config(cfg.pop("variant", "KEEP"), **cfg)
+
+        t = opt.get("train", {})
+        self.hq_feat_loss = t.get("use_hq_feat_loss", False)
+        self.feat_loss_weight = t.get("feat_loss_weight", 1.0)
+        self.cross_entropy_loss = t.get("cross_entropy_loss", False)
+        self.entropy_loss_weight = t.get("entropy_loss_weight", 0.5)
+        self.cri_pix = build_loss(t["pixel_opt"]) if t.get("pixel_opt") else None
+        self.cri_perceptual = build_loss(t["perceptual_opt"], feature_fn=feature_fn) \
+            if t.get("perceptual_opt") else None
+        self.cri_temporal = build_loss(t["temporal_opt"]) if t.get("temporal_opt") else None
+        self.temporal_type = t.get("temporal_warp_type", "GT")
+        self.hq_vqgan_params = hq_vqgan_params
+        self.gmflow_params = gmflow_params
+
+    def init_params(self, key):
+        return self.KEEP.init(key, **self.cfg)
+
+    def make_optimizer(self, params):
+        train_opt = self.opt.get("train", {})
+        tx = build_optimizer(dict(train_opt.get("optim_g", {"type": "Adam", "lr": 1e-4})),
+                             schedule=self.schedule)
+        if self.fix_modules:
+            tx = masked_optimizer(tx, params, self.fix_modules)
+        return tx
+
+    def _gt_indices(self, gt):
+        """Frozen VQHQEncoder top-1 codebook indices of the GT frames."""
+        import jax
+        import jax.numpy as jnp
+        from comfyui_keep_tpu.models.vqgan import (VQAutoEncoder, blocks_apply,
+                                                   vq_indices)
+        b, tt = gt.shape[:2]
+        enc_plan, _ = VQAutoEncoder.make_plans(img_size=self.cfg["img_size"],
+                                               nf=self.cfg["nf"],
+                                               ch_mult=self.cfg["ch_mult"],
+                                               res_blocks=self.cfg["res_blocks"],
+                                               attn_resolutions=self.cfg["attn_resolutions"],
+                                               emb_dim=self.cfg["emb_dim"])
+        x = gt.reshape((-1,) + gt.shape[2:])
+        z = blocks_apply(self.hq_vqgan_params["encoder"], enc_plan, x)
+        idx, _ = vq_indices(self.hq_vqgan_params["quantize"], z)
+        return jax.lax.stop_gradient(idx.reshape(b * tt, -1))
+
+    def _flows(self, clip):
+        import jax.numpy as jnp
+        if self.gmflow_params is None:  # static-scene fallback (tests/tools)
+            b, t, h, w, _ = clip.shape
+            return jnp.zeros((b, t - 1, h, w, 2), clip.dtype)
+        from comfyui_keep_tpu.models.gmflow import flow_from_clip
+        return flow_from_clip(self.gmflow_params, clip)
+
+    def loss_fn(self, params, batch, rng):
+        import jax
+        import jax.numpy as jnp
+        import optax
+        from comfyui_keep_tpu.ops.warp import flow_warp, resize_flow
+
+        lq, gt = batch["lq"], batch["gt"]
+        flows = self._flows(lq) if self.gmflow_params is not None else None
+        outs, aux = self.KEEP.apply(params, lq, flows=flows, detach_16=True,
+                                    return_aux=True, **self.cfg)
+        total = 0.0
+        loss_dict = {}
+        b, tt = gt.shape[:2]
+
+        if self.hq_feat_loss or self.cross_entropy_loss:
+            idx_gt = self._gt_indices(gt)
+
+        if self.hq_feat_loss:
+            from comfyui_keep_tpu.models.vqgan import vq_lookup
+            hl = aux["lq_feat"].shape[1]
+            quant_gt = vq_lookup(params["quantize"], idx_gt).reshape(
+                b * tt, hl, hl, -1)
+            l_feat = jnp.mean((jax.lax.stop_gradient(quant_gt) -
+                               aux["lq_feat"]) ** 2) * self.feat_loss_weight
+            total += l_feat
+            loss_dict["l_feat_encoder"] = l_feat
+
+        if self.cross_entropy_loss:
+            ce = optax.softmax_cross_entropy_with_integer_labels(
+                aux["logits"], idx_gt).mean() * self.entropy_loss_weight
+            total += ce
+            loss_dict["l_cross_entropy"] = ce
+
+        if self.cri_temporal is not None and aux["gen_feat_dict"]:
+            if self.temporal_type == "GT":
+                tflows = jax.lax.stop_gradient(self._flows(gt))
+            elif self.temporal_type == "HR":
+                tflows = jax.lax.stop_gradient(self._flows(outs))
+            else:  # Diff
+                gt_f = jax.lax.stop_gradient(self._flows(gt))
+                hr_f = jax.lax.stop_gradient(self._flows(outs))
+            l_temporal = 0.0
+            for f_size, feat in aux["gen_feat_dict"].items():
+                _, _, fh, fw, fc = feat.shape
+                prev = feat[:, :-1].reshape(-1, fh, fw, fc)
+                curr = feat[:, 1:].reshape(-1, fh, fw, fc)
+                if self.temporal_type in ("GT", "HR"):
+                    fl = resize_flow(tflows.reshape((-1,) + tflows.shape[2:]),
+                                     (fh, fw))
+                    l_temporal += self.cri_temporal(curr, flow_warp(prev, fl))
+                else:
+                    gfl = resize_flow(gt_f.reshape((-1,) + gt_f.shape[2:]), (fh, fw))
+                    hfl = resize_flow(hr_f.reshape((-1,) + hr_f.shape[2:]), (fh, fw))
+                    l_temporal += self.cri_temporal(flow_warp(prev, gfl),
+                                                    flow_warp(prev, hfl))
+            total += l_temporal
+            loss_dict["l_temporal"] = l_temporal
+
+        if self.cri_pix is not None:
+            l_pix = self.cri_pix(outs, gt)
+            total += l_pix
+            loss_dict["l_pix"] = l_pix
+
+        if self.cri_perceptual is not None:
+            flat_out = outs.reshape((-1,) + outs.shape[2:])
+            flat_gt = gt.reshape((-1,) + gt.shape[2:])
+            res = self.cri_perceptual(flat_out, flat_gt)
+            if isinstance(res, tuple):
+                l_p, l_s = res
+                if l_p is not None:
+                    total += l_p
+                    loss_dict["l_percep"] = l_p
+                if l_s is not None:
+                    total += l_s
+                    loss_dict["l_style"] = l_s
+            else:
+                total += res
+                loss_dict["l_percep"] = res
+
+        loss_dict["l_total"] = total
+        return total, loss_dict
+
+
+@MODEL_REGISTRY.register(name="KEEPGANModel")
+class KEEPGANTrainer(KEEPTrainer):
+    """Adds a 3D discriminator with g/d alternation and net_d_start_iter
+    gating (models/keep_gan_model.py:17-303)."""
+
+    def __init__(self, opt, mesh=None, **kw):
+        super().__init__(opt, mesh, **kw)
+        t = opt.get("train", {})
+        self.cri_gan = build_loss(t["gan_opt"]) if t.get("gan_opt") else None
+        self.net_d_iters = t.get("net_d_iters", 1)
+        self.net_d_start_iter = t.get("net_d_start_iter", 0)
+        from comfyui_keep_tpu.models.vqgan import Discriminator3D
+        self.disc = Discriminator3D
+        self._d_step = None
+
+    def make_state(self, key):
+        import jax
+        state = super().make_state(key)
+        kd = jax.random.fold_in(key, 777)
+        self.d_params = self.disc.init(kd, **self.opt.get("network_d", {}).get("args", {}))
+        self.tx_d = build_optimizer(dict(self.opt["train"].get(
+            "optim_d", {"type": "Adam", "lr": 1e-4})), schedule=self.schedule)
+        self.d_opt_state = self.tx_d.init(self.d_params)
+        return state
+
+    def gan_train_step(self, state, batch, current_iter, rng=None):
+        """One g/d alternation (keep_gan_model.py:262-296): generator update
+        with GAN term once current_iter >= net_d_start_iter, then a
+        discriminator update on (gt, output)."""
+        import jax
+        import optax
+
+        use_gan = self.cri_gan is not None and current_iter >= self.net_d_start_iter
+        rng = rng if rng is not None else jax.random.PRNGKey(current_iter)
+
+        def g_loss(params, d_params, batch, rng):
+            total, loss_dict = self.loss_fn(params, batch, rng)
+            flows = self._flows(batch["lq"]) if self.gmflow_params is not None else None
+            outs = self.KEEP.apply(params, batch["lq"], flows=flows,
+                                   detach_16=True, **self.cfg)
+            if use_gan:
+                fake_pred = self.disc.apply(d_params, outs)
+                l_gan = self.cri_gan(fake_pred, True, is_disc=False)
+                total = total + l_gan
+                loss_dict["l_g_gan"] = l_gan
+            return total, (loss_dict, outs)
+
+        (loss, (loss_dict, outs)), grads = jax.value_and_grad(
+            g_loss, has_aux=True)(state.params, self.d_params, batch, rng)
+        updates, state.opt_state = self.tx.update(grads, state.opt_state,
+                                                  state.params)
+        state.params = optax.apply_updates(state.params, updates)
+        if state.ema_params is not None:
+            state.ema_params = ema_update(state.ema_params, state.params,
+                                          self.ema_decay)
+        if use_gan:
+            self.d_params, self.d_opt_state, d_logs = self.d_train_step(
+                self.d_params, self.d_opt_state, batch["gt"], outs)
+            loss_dict.update(d_logs)
+        state.iter += 1
+        return state, {k: float(v) for k, v in loss_dict.items()}
+
+    def d_train_step(self, d_params, d_opt_state, real, fake):
+        import jax
+        import optax
+
+        def d_loss(dp):
+            real_pred = self.disc.apply(dp, real)
+            fake_pred = self.disc.apply(dp, jax.lax.stop_gradient(fake))
+            l_real = self.cri_gan(real_pred, True, is_disc=True)
+            l_fake = self.cri_gan(fake_pred, False, is_disc=True)
+            return l_real + l_fake, (l_real, l_fake)
+
+        (loss, (lr_, lf_)), grads = jax.value_and_grad(d_loss, has_aux=True)(d_params)
+        updates, d_opt_state = self.tx_d.update(grads, d_opt_state, d_params)
+        d_params = optax.apply_updates(d_params, updates)
+        return d_params, d_opt_state, {"l_d": float(loss),
+                                       "l_d_real": float(lr_),
+                                       "l_d_fake": float(lf_)}
+
+
+def build_model(opt: Dict, **kw):
+    """Reference models/__init__.py:18-29."""
+    return MODEL_REGISTRY.get(opt["model_type"])(opt, **kw)

@@ -1,0 +1,217 @@
+"""Training framework tests: losses vs torch, schedulers vs reference,
+KEEP/SR train steps on tiny configs."""
+import numpy as np
+import pytest
+import jax
+import jax.numpy as jnp
+
+torch = pytest.importorskip("torch")
+
+from comfyui_keep_tpu.training import losses as L
+from comfyui_keep_tpu.training import schedulers as S
+from comfyui_keep_tpu.training.state import ema_update, freeze_mask
+from comfyui_keep_tpu.training.trainers import KEEPTrainer, SRTrainer
+
+from tests import reference_oracle as oracle
+
+
+class TestLosses:
+    def test_basic_losses(self, rng):
+        a = rng.standard_normal((2, 8, 8, 3), dtype=np.float32)
+        b = rng.standard_normal((2, 8, 8, 3), dtype=np.float32)
+        ta, tb = torch.tensor(a), torch.tensor(b)
+        np.testing.assert_allclose(float(L.L1Loss()(jnp.asarray(a), jnp.asarray(b))),
+                                   torch.nn.functional.l1_loss(ta, tb).item(), rtol=1e-5)
+        np.testing.assert_allclose(float(L.MSELoss()(jnp.asarray(a), jnp.asarray(b))),
+                                   torch.nn.functional.mse_loss(ta, tb).item(), rtol=1e-5)
+        ch = float(L.CharbonnierLoss(eps=1e-12)(jnp.asarray(a), jnp.asarray(b)))
+        ref = torch.sqrt((ta - tb) ** 2 + 1e-12).mean().item()
+        np.testing.assert_allclose(ch, ref, rtol=1e-5)
+
+    def test_tv_loss(self, rng):
+        a = rng.standard_normal((1, 6, 6, 3), dtype=np.float32)
+        tv = float(L.WeightedTVLoss()(jnp.asarray(a)))
+        ta = torch.tensor(a.transpose(0, 3, 1, 2))
+        ref = (torch.nn.functional.l1_loss(ta[:, :, :-1], ta[:, :, 1:]) +
+               torch.nn.functional.l1_loss(ta[:, :, :, :-1], ta[:, :, :, 1:])).item()
+        np.testing.assert_allclose(tv, ref, rtol=1e-5)
+
+    @pytest.mark.parametrize("gan_type", ["vanilla", "lsgan", "wgan",
+                                          "wgan_softplus", "hinge"])
+    def test_gan_losses(self, rng, gan_type):
+        x = rng.standard_normal((4, 5), dtype=np.float32)
+        tx = torch.tensor(x)
+        gl = L.GANLoss(gan_type, loss_weight=1.0)
+        ours_real = float(gl(jnp.asarray(x), True, is_disc=True))
+        if gan_type == "vanilla":
+            ref = torch.nn.functional.binary_cross_entropy_with_logits(
+                tx, torch.ones_like(tx)).item()
+        elif gan_type == "lsgan":
+            ref = torch.nn.functional.mse_loss(tx, torch.ones_like(tx)).item()
+        elif gan_type == "wgan":
+            ref = (-tx.mean()).item()
+        elif gan_type == "wgan_softplus":
+            ref = torch.nn.functional.softplus(-tx).mean().item()
+        else:
+            ref = torch.nn.functional.relu(1 - tx).mean().item()
+        np.testing.assert_allclose(ours_real, ref, rtol=1e-5)
+
+    def test_perceptual_loss_with_vgg(self, rng):
+        from comfyui_keep_tpu.models.vgg import VGGFeatureExtractor
+        params = VGGFeatureExtractor.init(jax.random.PRNGKey(0))
+        fn = lambda x, layers: VGGFeatureExtractor.apply(params, x, layers)
+        pl = L.PerceptualLoss({"conv1_2": 1.0, "conv2_2": 0.5}, fn,
+                              perceptual_weight=1.0, style_weight=1.0)
+        x = jnp.asarray(rng.random((1, 32, 32, 3), dtype=np.float32))
+        gt = jnp.asarray(rng.random((1, 32, 32, 3), dtype=np.float32))
+        p, s = pl(x, gt)
+        assert np.isfinite(float(p)) and np.isfinite(float(s))
+
+    def test_gradient_penalty(self, rng):
+        disc = lambda x: jnp.sum(x ** 2, axis=(1, 2, 3))
+        real = jnp.asarray(rng.random((2, 4, 4, 3), dtype=np.float32))
+        fake = jnp.asarray(rng.random((2, 4, 4, 3), dtype=np.float32))
+        gp = L.gradient_penalty_loss(disc, real, fake, jax.random.PRNGKey(0))
+        assert np.isfinite(float(gp))
+
+
+class TestSchedulers:
+    @pytest.fixture(scope="class")
+    def ref_sched_mod(self):
+        if not oracle.reference_available():
+            pytest.skip("no reference")
+        return oracle._module_from_file(
+            "ref_lr_sched",
+            "/root/reference/modules/deps/wm_basicsr/models/lr_scheduler.py")
+
+    def test_multistep_restart(self, ref_sched_mod):
+        lin = torch.nn.Linear(2, 2)
+        opt = torch.optim.SGD(lin.parameters(), lr=1.0)
+        ref = ref_sched_mod.MultiStepRestartLR(opt, milestones=[3, 6],
+                                               gamma=0.5, restarts=[8],
+                                               restart_weights=[0.7])
+        ours = S.multi_step_restart_lr([3, 6], 0.5, restarts=[8],
+                                       restart_weights=[0.7])
+        for step in range(12):
+            np.testing.assert_allclose(ours(step), opt.param_groups[0]["lr"],
+                                       rtol=1e-6, err_msg=f"step {step}")
+            opt.step()
+            ref.step()
+
+    def test_cosine_restart(self, ref_sched_mod):
+        lin = torch.nn.Linear(2, 2)
+        opt = torch.optim.SGD(lin.parameters(), lr=2.0)
+        ref = ref_sched_mod.CosineAnnealingRestartLR(
+            opt, periods=[4, 4], restart_weights=[1, 0.5], eta_min=0.2)
+        ours = S.cosine_annealing_restart_lr([4, 4], [1, 0.5], eta_min=0.2,
+                                             base_lr=2.0)
+        for step in range(8):
+            np.testing.assert_allclose(2.0 * ours(step),
+                                       opt.param_groups[0]["lr"], rtol=1e-6,
+                                       err_msg=f"step {step}")
+            opt.step()
+            ref.step()
+
+
+TINY = dict(img_size=64, nf=32, ch_mult=(1, 2, 2), res_blocks=2,
+            attn_resolutions=(16,), codebook_size=64, emb_dim=32, dim_embd=64,
+            n_head=8, n_layers=2, latent_size=256, cft_list=("32", "64"),
+            cfa_list=("16",), cfa_nhead=2, cfa_dim=16, kalman_attn_head_dim=8,
+            num_uncertainty_layers=1, temp_reg_list=("32",))
+
+
+class TestKEEPTrainer:
+    @pytest.fixture(scope="class")
+    def trainer_and_state(self):
+        from comfyui_keep_tpu.models.vqgan import VQHQEncoder
+        opt = {
+            "model_type": "KEEPModel",
+            "network_g": {"type": "KEEP", **TINY,
+                          "fix_modules": ["quantize", "generator"]},
+            "train": {
+                "use_hq_feat_loss": True, "feat_loss_weight": 1.0,
+                "cross_entropy_loss": True, "entropy_loss_weight": 0.5,
+                "pixel_opt": {"type": "L1Loss", "loss_weight": 1.0},
+                "temporal_opt": {"type": "L1Loss", "loss_weight": 0.1},
+                "temporal_warp_type": "GT",
+                "optim_g": {"type": "Adam", "lr": 1e-3},
+                "ema_decay": 0.99,
+            },
+        }
+        hq = VQHQEncoder.init(jax.random.PRNGKey(3), img_size=64, nf=32,
+                              ch_mult=(1, 2, 2), res_blocks=2,
+                              attn_resolutions=(16,), codebook_size=64,
+                              emb_dim=32)
+        tr = KEEPTrainer(opt, hq_vqgan_params=hq)
+        # trainer cfg must match hq encoder cfg for GT indices
+        state = tr.make_state(jax.random.PRNGKey(0))
+        return tr, state
+
+    def test_train_step(self, trainer_and_state, rng):
+        tr, state = trainer_and_state
+        batch = {
+            "lq": jnp.asarray(rng.random((1, 2, 64, 64, 3), dtype=np.float32) - 0.5),
+            "gt": jnp.asarray(rng.random((1, 2, 64, 64, 3), dtype=np.float32) - 0.5),
+        }
+        p0 = jax.tree.map(np.asarray, state.params)
+        state, logs = tr.train_step(state, batch)
+        assert np.isfinite(logs["l_total"])
+        assert {"l_feat_encoder", "l_cross_entropy", "l_temporal", "l_pix"} <= set(logs)
+        # frozen modules unchanged; others updated
+        np.testing.assert_array_equal(
+            np.asarray(state.params["quantize"]["embedding"]),
+            p0["quantize"]["embedding"])
+        assert not np.allclose(
+            np.asarray(state.params["feat_emb"]["w"]), p0["feat_emb"]["w"])
+        # EMA moved toward params
+        assert state.ema_params is not None
+
+    def test_second_step_reuses_jit(self, trainer_and_state, rng):
+        tr, state = trainer_and_state
+        batch = {
+            "lq": jnp.asarray(rng.random((1, 2, 64, 64, 3), dtype=np.float32) - 0.5),
+            "gt": jnp.asarray(rng.random((1, 2, 64, 64, 3), dtype=np.float32) - 0.5),
+        }
+        state, logs = tr.train_step(state, batch)
+        assert np.isfinite(logs["l_total"])
+
+
+class TestSRTrainer:
+    def test_sr_train_step(self, rng):
+        opt = {
+            "model_type": "SRModel",
+            "network_g": {"type": "MSRResNet", "num_feat": 8, "num_block": 1,
+                          "upscale": 2},
+            "train": {"pixel_opt": {"type": "L1Loss"},
+                      "optim_g": {"type": "Adam", "lr": 1e-3}},
+        }
+        tr = SRTrainer(opt)
+        state = tr.make_state(jax.random.PRNGKey(0))
+        batch = {"lq": jnp.asarray(rng.random((2, 8, 8, 3), dtype=np.float32)),
+                 "gt": jnp.asarray(rng.random((2, 16, 16, 3), dtype=np.float32))}
+        state, logs = tr.train_step(state, batch)
+        assert np.isfinite(logs["l_pix"])
+
+    def test_self_ensemble_shapes(self, rng):
+        opt = {"network_g": {"type": "MSRResNet", "num_feat": 8,
+                             "num_block": 1, "upscale": 2},
+               "train": {"pixel_opt": {"type": "L1Loss"}}}
+        tr = SRTrainer(opt)
+        params = tr.init_params(jax.random.PRNGKey(0))
+        lq = jnp.asarray(rng.random((1, 8, 8, 3), dtype=np.float32))
+        out = tr.test_selfensemble(params, lq)
+        assert out.shape == (1, 16, 16, 3)
+
+
+def test_ema_update():
+    p = {"a": jnp.ones((2,))}
+    e = {"a": jnp.zeros((2,))}
+    out = ema_update(e, p, 0.9)
+    np.testing.assert_allclose(np.asarray(out["a"]), 0.1)
+
+
+def test_freeze_mask():
+    params = {"generator": {"w": jnp.ones(2)}, "encoder": {"w": jnp.ones(2)}}
+    mask = freeze_mask(params, ("generator",))
+    assert mask["generator"]["w"] == "frozen"
+    assert mask["encoder"]["w"] == "trainable"
