@@ -1,0 +1,98 @@
+"""Train pipeline (reference wm_basicsr/train.py:91-210):
+parse options → dirs/loggers → dataloaders (EnlargedSampler) → build trainer
+→ auto-resume → prefetcher → loop {feed, step, log, save, validate}.
+"""
+import os
+import time
+from typing import Dict, Optional
+
+import numpy as np
+
+from comfyui_keep_tpu.data import build_dataset
+from comfyui_keep_tpu.data.prefetch import (CPUPrefetcher, DataLoader,
+                                            DevicePrefetcher)
+from comfyui_keep_tpu.data.samplers import EnlargedSampler
+from comfyui_keep_tpu.training.trainers import build_model, _make_mesh
+from comfyui_keep_tpu.training.state import TrainState
+from comfyui_keep_tpu.utils.logger import (AvgTimer, MessageLogger,
+                                           get_env_info, get_root_logger)
+from comfyui_keep_tpu.utils.misc import make_exp_dirs, set_random_seed
+
+
+def create_train_val_loaders(opt, logger):
+    train_loader, val_loaders = None, []
+    for phase, dataset_opt in opt["datasets"].items():
+        if phase == "train":
+            ds = build_dataset(dataset_opt)
+            sampler = EnlargedSampler(
+                len(ds), ratio=dataset_opt.get("dataset_enlarge_ratio", 1))
+            train_loader = DataLoader(
+                ds, batch_size=dataset_opt.get("batch_size_per_gpu", 1),
+                sampler=sampler,
+                num_workers=dataset_opt.get("num_worker_per_gpu", 0))
+            logger.info(f"train dataset {dataset_opt['type']}: {len(ds)} items")
+        elif phase.startswith("val"):
+            ds = build_dataset(dataset_opt)
+            val_loaders.append(DataLoader(ds, batch_size=1, drop_last=False))
+            logger.info(f"val dataset {dataset_opt['type']}: {len(ds)} items")
+    return train_loader, val_loaders
+
+
+def train_pipeline(opt: Dict, max_iters: Optional[int] = None, use_mesh=True,
+                   trainer_kwargs: Optional[Dict] = None):
+    import jax
+    logger = get_root_logger()
+    logger.info(get_env_info())
+    set_random_seed(opt.get("manual_seed", 0))
+    if opt["path"].get("experiments_root"):
+        make_exp_dirs(opt)
+
+    train_loader, val_loaders = create_train_val_loaders(opt, logger)
+    mesh = _make_mesh() if use_mesh and len(jax.devices()) > 1 else None
+    trainer = build_model(opt, mesh=mesh, **(trainer_kwargs or {}))
+    state = trainer.make_state(jax.random.PRNGKey(opt.get("manual_seed", 0)))
+
+    # auto-resume (train.py:68-88)
+    if opt.get("auto_resume"):
+        latest = TrainState.latest_state(opt["path"]["training_states"])
+        if latest:
+            opt_state_data = state.resume(latest)
+            logger.info(f"resumed from {latest} at iter {state.iter}")
+
+    total_iter = max_iters or opt.get("train", {}).get("total_iter", 1000)
+    save_freq = opt.get("logger", {}).get("save_checkpoint_freq", 1e9)
+    print_freq = opt.get("logger", {}).get("print_freq", 100)
+    msg_logger = MessageLogger(opt, state.iter + 1)
+    iter_timer, data_timer = AvgTimer(), AvgTimer()
+
+    sharding = None
+    if mesh is not None:
+        from jax.sharding import NamedSharding, PartitionSpec as P
+        sharding = NamedSharding(mesh, P("data"))
+    prefetcher = DevicePrefetcher(train_loader, sharding=sharding)
+
+    epoch = state.epoch
+    logs = {}
+    while state.iter < total_iter:
+        train_loader.epoch = epoch
+        if train_loader.sampler is not None:
+            train_loader.sampler.set_epoch(epoch)
+        prefetcher.reset()
+        batch = prefetcher.next()
+        while batch is not None and state.iter < total_iter:
+            data_timer.record()
+            batch_arrays = {k: v for k, v in batch.items()
+                            if not isinstance(v, list)}
+            state, logs = trainer.train_step(state, batch_arrays)
+            iter_timer.record()
+            if state.iter % print_freq == 0:
+                msg_logger({"iter": state.iter, "epoch": epoch,
+                            "lrs": [0.0], "time": iter_timer.get_avg_time(),
+                            "data_time": data_timer.get_avg_time(), **logs})
+            if state.iter % save_freq == 0:
+                state.save(opt["path"]["models"],
+                           opt["path"]["training_states"], state.iter)
+            batch = prefetcher.next()
+        epoch += 1
+        state.epoch = epoch
+    return state, logs

@@ -1,0 +1,178 @@
+"""Data pipeline + end-to-end train loop tests (tiny synthetic data)."""
+import os
+
+import numpy as np
+import pytest
+
+cv2 = pytest.importorskip("cv2")
+
+from comfyui_keep_tpu.data import build_dataset, degradations as D
+from comfyui_keep_tpu.data.prefetch import DataLoader, DevicePrefetcher
+from comfyui_keep_tpu.data.samplers import EnlargedSampler
+from comfyui_keep_tpu.data.transforms import augment, paired_random_crop
+
+
+class TestDegradations:
+    def test_kernels_normalized(self, rng):
+        for kind in ("iso", "aniso", "generalized_iso", "plateau_aniso"):
+            k = D.random_mixed_kernels([kind], [1.0], 21, (0.6, 5), (0.6, 5))
+            assert k.shape == (21, 21)
+            np.testing.assert_allclose(k.sum(), 1.0, rtol=1e-6)
+
+    def test_kernel_matches_reference(self, rng):
+        from tests import reference_oracle as oracle
+        if not oracle.reference_available():
+            pytest.skip("no reference")
+        oracle._install_stubs_arch_util()  # torchvision stub
+        import sys
+        tv = sys.modules["torchvision"]
+        if not hasattr(tv, "transforms"):
+            import types
+            tv.transforms = types.ModuleType("torchvision.transforms")
+            tv.transforms.functional = types.ModuleType(
+                "torchvision.transforms.functional")
+            tv.transforms.functional.rgb_to_grayscale = None
+            sys.modules["torchvision.transforms"] = tv.transforms
+            sys.modules["torchvision.transforms.functional"] = tv.transforms.functional
+        ref = oracle._module_from_file(
+            "ref_degradations",
+            "/root/reference/modules/deps/wm_basicsr/data/degradations.py")
+        k1 = D.bivariate_Gaussian(21, 2.0, 3.0, 0.5, isotropic=False)
+        k2 = ref.bivariate_Gaussian(21, 2.0, 3.0, 0.5, isotropic=False)
+        np.testing.assert_allclose(k1, k2, atol=1e-12)
+        g1 = D.bivariate_generalized_Gaussian(13, 1.5, 2.5, 0.3, 1.5, isotropic=False)
+        g2 = ref.bivariate_generalized_Gaussian(13, 1.5, 2.5, 0.3, 1.5, isotropic=False)
+        np.testing.assert_allclose(g1, g2, atol=1e-12)
+        p1 = D.bivariate_plateau(13, 1.5, 2.5, 0.3, 2.0, isotropic=False)
+        p2 = ref.bivariate_plateau(13, 1.5, 2.5, 0.3, 2.0, isotropic=False)
+        np.testing.assert_allclose(p1, p2, atol=1e-12)
+        s1 = D.circular_lowpass_kernel(np.pi / 3, 13)
+        s2 = ref.circular_lowpass_kernel(np.pi / 3, 13)
+        np.testing.assert_allclose(s1, s2, atol=1e-12)
+
+    def test_noise_and_jpeg(self, rng):
+        img = rng.random((32, 32, 3)).astype(np.float32)
+        out = D.random_add_gaussian_noise(img, (5, 10), gray_prob=0.5,
+                                          rng=np.random.default_rng(0))
+        assert out.shape == img.shape and out.min() >= 0 and out.max() <= 1
+        out = D.add_poisson_noise(img, scale=0.5, rng=np.random.default_rng(0))
+        assert np.isfinite(out).all()
+        out = D.add_jpg_compression(img, quality=50)
+        assert out.shape == img.shape
+
+    def test_video_compression_fallback(self, rng):
+        frames = [rng.random((64, 64, 3)).astype(np.float32) for _ in range(4)]
+        out = D.add_video_compression(frames, crf=28)
+        assert len(out) == 4
+        assert all(o.shape == (64, 64, 3) for o in out)
+        # compression should change the data but stay close
+        assert 0 < np.abs(out[0] - frames[0]).mean() < 0.2
+
+
+class TestTransforms:
+    def test_paired_random_crop(self, rng):
+        gt = rng.random((32, 32, 3))
+        lq = rng.random((16, 16, 3))
+        g, l = paired_random_crop(gt, lq, 8, 2)
+        assert g.shape == (8, 8, 3) and l.shape == (4, 4, 3)
+
+    def test_augment_flow_consistency(self, rng):
+        img = rng.random((8, 8, 3))
+        flow = rng.random((8, 8, 2)).astype(np.float32)
+        out, fl, status = augment([img], flows=[flow], return_status=True,
+                                  rng=__import__("random").Random(3))
+        assert out[0].shape == img.shape and fl[0].shape == flow.shape
+
+
+class TestSamplerLoader:
+    def test_enlarged_sampler_sharding(self):
+        s0 = EnlargedSampler(10, num_replicas=2, rank=0, ratio=2)
+        s1 = EnlargedSampler(10, num_replicas=2, rank=1, ratio=2)
+        i0, i1 = list(iter(s0)), list(iter(s1))
+        assert len(i0) == len(i1) == 10
+        assert all(0 <= i < 10 for i in i0 + i1)
+
+    def test_dataloader_batches(self, tmp_path, rng):
+        class DS:
+            def __len__(self):
+                return 7
+
+            def __getitem__(self, i):
+                return {"x": np.full((2, 2), i, np.float32), "name": str(i)}
+
+        dl = DataLoader(DS(), batch_size=2, shuffle=True, num_workers=2)
+        batches = list(dl)
+        assert len(batches) == 3
+        assert batches[0]["x"].shape == (2, 2, 2)
+        assert isinstance(batches[0]["name"], list)
+
+
+@pytest.fixture
+def vfhq_dir(tmp_path, rng):
+    clip = tmp_path / "gt" / "clip_000"
+    clip.mkdir(parents=True)
+    for i in range(12):
+        cv2.imwrite(str(clip / f"{i:08d}.png"),
+                    (rng.random((64, 64, 3)) * 255).astype(np.uint8))
+    meta = tmp_path / "meta.txt"
+    meta.write_text("\n".join(f"clip_000/12/{i}" for i in range(4, 8)))
+    return tmp_path
+
+
+def test_vfhq_dataset(vfhq_dir):
+    ds = build_dataset({
+        "type": "VFHQRealDegradationDataset",
+        "dataroot_gt": str(vfhq_dir / "gt"),
+        "meta_info_file": str(vfhq_dir / "meta.txt"),
+        "num_frame": 4, "scale": 2, "interval_list": [1],
+        "use_flip": True, "use_rot": False,
+    })
+    item = ds[0]
+    assert item["gt"].shape == (4, 64, 64, 3)
+    assert item["lq"].shape == (4, 32, 32, 3)
+    # ±0.5 normalized
+    assert item["gt"].min() >= -1.0 and item["gt"].max() <= 1.0
+
+
+def test_train_pipeline_end_to_end(vfhq_dir, tmp_path):
+    """Full loop: VFHQ degradation data -> KEEP trainer, 2 iters, save."""
+    import jax
+    from comfyui_keep_tpu.models.vqgan import VQHQEncoder
+    from comfyui_keep_tpu.training.train import train_pipeline
+
+    tiny = dict(img_size=64, nf=32, ch_mult=(1, 2, 2), res_blocks=1,
+                attn_resolutions=(16,), codebook_size=32, emb_dim=32,
+                dim_embd=32, n_head=4, n_layers=1, latent_size=256,
+                cft_list=("32",), cfa_list=(), cfa_nhead=2, cfa_dim=8,
+                kalman_attn_head_dim=8, num_uncertainty_layers=1,
+                temp_reg_list=())
+    opt = {
+        "name": "tiny_e2e", "is_train": True, "manual_seed": 0,
+        "model_type": "KEEPModel",
+        "network_g": {"type": "KEEP", **tiny,
+                      "fix_modules": ["quantize", "generator"]},
+        "datasets": {"train": {
+            "type": "VFHQRealDegradationDataset",
+            "dataroot_gt": str(vfhq_dir / "gt"),
+            "meta_info_file": str(vfhq_dir / "meta.txt"),
+            "num_frame": 2, "scale": 1, "interval_list": [1],
+            "use_flip": False, "use_rot": False, "batch_size_per_gpu": 1,
+        }},
+        "train": {"total_iter": 2,
+                  "pixel_opt": {"type": "L1Loss"},
+                  "optim_g": {"type": "Adam", "lr": 1e-4}},
+        "logger": {"print_freq": 1, "save_checkpoint_freq": 2},
+        "path": {"experiments_root": str(tmp_path / "exp"),
+                 "models": str(tmp_path / "exp/models"),
+                 "training_states": str(tmp_path / "exp/training_states"),
+                 "log": str(tmp_path / "exp"),
+                 "visualization": str(tmp_path / "exp/vis")},
+    }
+    hq = VQHQEncoder.init(jax.random.PRNGKey(1), img_size=64, nf=32,
+                          ch_mult=(1, 2, 2), res_blocks=1,
+                          attn_resolutions=(16,), codebook_size=32, emb_dim=32)
+    state, logs = train_pipeline(opt, use_mesh=False,
+                                 trainer_kwargs={"hq_vqgan_params": hq})
+    assert state.iter == 2
+    assert np.isfinite(logs["l_total"])
+    assert os.path.exists(tmp_path / "exp/models/net_g_2.npz")
