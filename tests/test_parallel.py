@@ -1,0 +1,63 @@
+"""Parallel layer tests on the 8-device virtual CPU mesh."""
+import numpy as np
+import pytest
+import jax
+import jax.numpy as jnp
+
+from comfyui_keep_tpu.parallel import (make_mesh, get_dist_info,
+                                       data_sharding, replicated_sharding,
+                                       reduce_loss_dict,
+                                       restore_chunks_parallel)
+
+TINY = dict(img_size=64, nf=32, ch_mult=(1, 2, 2), res_blocks=1,
+            attn_resolutions=(16,), codebook_size=32, emb_dim=32, dim_embd=32,
+            n_head=4, n_layers=1, latent_size=256, cft_list=("32",),
+            cfa_list=(), cfa_nhead=2, cfa_dim=8, kalman_attn_head_dim=8,
+            num_uncertainty_layers=1, temp_reg_list=())
+
+
+def test_mesh_and_dist_info():
+    assert len(jax.devices()) == 8, "conftest must provide 8 CPU devices"
+    mesh = make_mesh()
+    assert mesh.shape["data"] == 8
+    rank, world = get_dist_info()
+    assert rank == 0 and world == 1
+
+
+def test_two_axis_mesh():
+    mesh = make_mesh(axes=("data", "model"), shape=(4, 2))
+    assert mesh.shape == {"data": 4, "model": 2}
+
+
+def test_reduce_loss_dict():
+    out = reduce_loss_dict({"a": jnp.asarray(1.5)})
+    assert out == {"a": 1.5}
+
+
+def test_chunk_parallel_matches_sequential(rng):
+    """Chunk-parallel over the mesh == sequential per-chunk restore for
+    full chunks (identical padding-free case)."""
+    from comfyui_keep_tpu.models.keep import KEEP
+    params = KEEP.init(jax.random.PRNGKey(0), **TINY)
+    faces = (rng.random((8, 64, 64, 3), dtype=np.float32) - 0.5)
+
+    mesh = make_mesh(4)
+    out_par = restore_chunks_parallel(params, TINY, faces,
+                                      max_clip_length=2, mesh=mesh)
+    # sequential reference: chunks of 2, state reset each chunk
+    fn = jax.jit(lambda p, x: KEEP.apply(p, x, remat=False, **TINY))
+    outs = []
+    for i in range(0, 8, 2):
+        outs.append(np.asarray(fn(params, jnp.asarray(faces[None, i:i + 2]))[0]))
+    out_seq = np.concatenate(outs, axis=0)
+    np.testing.assert_allclose(out_par, out_seq, atol=2e-5, rtol=1e-4)
+
+
+def test_chunk_parallel_ragged_tail(rng):
+    from comfyui_keep_tpu.models.keep import KEEP
+    params = KEEP.init(jax.random.PRNGKey(0), **TINY)
+    faces = (rng.random((5, 64, 64, 3), dtype=np.float32) - 0.5)
+    out = restore_chunks_parallel(params, TINY, faces, max_clip_length=2,
+                                  mesh=make_mesh(4))
+    assert out.shape == (5, 64, 64, 3)
+    assert np.isfinite(out).all()
