@@ -10,6 +10,9 @@ from comfyui_keep_tpu.models import sr_basic  # noqa: F401
 from comfyui_keep_tpu.models import parsenet  # noqa: F401
 from comfyui_keep_tpu.models import retinaface  # noqa: F401
 from comfyui_keep_tpu.models import vgg  # noqa: F401
+from comfyui_keep_tpu.models import spynet  # noqa: F401
+from comfyui_keep_tpu.models import discriminators  # noqa: F401
+from comfyui_keep_tpu.models import sr_extra  # noqa: F401
 
 
 def build_network(name: str):
