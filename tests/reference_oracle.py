@@ -72,22 +72,112 @@ def load_ref_arch_util():
                              f"{REF_ROOT}/archs/arch_util.py")
 
 
+def _torch_deform_conv2d(x, offset, weight, bias=None, stride=(1, 1),
+                         padding=(1, 1), dilation=(1, 1), mask=None):
+    """Independent torch oracle for modulated deformable conv (torchvision
+    semantics: offset channels interleaved (y, x) per tap per group),
+    implemented with per-tap F.grid_sample — a different code path from the
+    framework's JAX gather+matmul implementation."""
+    import torch
+    import torch.nn.functional as F
+    if isinstance(stride, int):
+        stride = (stride, stride)
+    if isinstance(padding, int):
+        padding = (padding, padding)
+    if isinstance(dilation, int):
+        dilation = (dilation, dilation)
+    b, cin, h, w = x.shape
+    cout, cin_g, kh, kw = weight.shape
+    dg = offset.shape[1] // (2 * kh * kw)
+    ho = (h + 2 * padding[0] - dilation[0] * (kh - 1) - 1) // stride[0] + 1
+    wo = (w + 2 * padding[1] - dilation[1] * (kw - 1) - 1) // stride[1] + 1
+    ys = torch.arange(ho) * stride[0] - padding[0]
+    xs = torch.arange(wo) * stride[1] - padding[1]
+    base_y, base_x = torch.meshgrid(ys.float(), xs.float(), indexing="ij")
+    off = offset.reshape(b, dg, kh * kw, 2, ho, wo)
+    if mask is not None:
+        m = mask.reshape(b, dg, kh * kw, ho, wo)
+    cg = cin // dg
+    xg = x.reshape(b, dg, cg, h, w)
+    cols = []
+    for k in range(kh * kw):
+        ki, kj = k // kw, k % kw
+        vals_g = []
+        for g in range(dg):
+            py = base_y + ki * dilation[0] + off[:, g, k, 0]
+            px = base_x + kj * dilation[1] + off[:, g, k, 1]
+            gx = 2 * px / max(w - 1, 1) - 1
+            gy = 2 * py / max(h - 1, 1) - 1
+            grid = torch.stack([gx, gy], dim=-1)
+            v = F.grid_sample(xg[:, g], grid, mode="bilinear",
+                              padding_mode="zeros", align_corners=True)
+            if mask is not None:
+                v = v * m[:, g, k].unsqueeze(1)
+            vals_g.append(v)
+        cols.append(torch.cat(vals_g, dim=1))  # (b, cin, ho, wo)
+    col = torch.stack(cols, dim=1)  # (b, K, cin, ho, wo)
+    groups = cin // cin_g
+    col = col.reshape(b, kh * kw, groups, cin_g, ho, wo)
+    wg = weight.reshape(groups, cout // groups, cin_g, kh * kw)
+    out = torch.einsum("bkgchw,gock->bgohw", col, wg)
+    out = out.reshape(b, cout, ho, wo)
+    if bias is not None:
+        out = out + bias.view(1, -1, 1, 1)
+    return out
+
+
 def _install_stubs_arch_util():
     """arch_util.py imports torchvision and wm_basicsr.ops.dcn at module top;
-    neither is importable here — stub them (only DCN call paths need them)."""
+    neither is importable here — provide functional oracles."""
     _install_stubs()
+    import torch
+    from torch import nn
+
     if "torchvision" not in sys.modules:
         tv = types.ModuleType("torchvision")
         tv.__version__ = "0.20.0"
         tv.ops = types.ModuleType("torchvision.ops")
-        tv.ops.deform_conv2d = None
+        tv.ops.deform_conv2d = _torch_deform_conv2d
         sys.modules["torchvision"] = tv
         sys.modules["torchvision.ops"] = tv.ops
+
     if "wm_basicsr.ops" not in sys.modules:
+        class ModulatedDeformConvPack(nn.Module):
+            def __init__(self, in_channels, out_channels, kernel_size,
+                         stride=1, padding=0, dilation=1, groups=1,
+                         deformable_groups=1, bias=True):
+                super().__init__()
+                k = kernel_size if isinstance(kernel_size, tuple) else (kernel_size,) * 2
+                self.in_channels = in_channels
+                self.out_channels = out_channels
+                self.kernel_size = k
+                self.stride = stride
+                self.padding = padding
+                self.dilation = dilation
+                self.groups = groups
+                self.deformable_groups = deformable_groups
+                self.weight = nn.Parameter(
+                    torch.randn(out_channels, in_channels // groups, *k) * 0.05)
+                self.bias = nn.Parameter(torch.zeros(out_channels)) if bias else None
+                self.conv_offset = nn.Conv2d(
+                    in_channels, deformable_groups * 3 * k[0] * k[1], k,
+                    stride=stride, padding=padding, bias=True)
+                nn.init.zeros_(self.conv_offset.weight)
+                nn.init.zeros_(self.conv_offset.bias)
+
+            def forward(self, x):
+                out = self.conv_offset(x)
+                o1, o2, mask = torch.chunk(out, 3, dim=1)
+                offset = torch.cat((o1, o2), dim=1)
+                mask = torch.sigmoid(mask)
+                return _torch_deform_conv2d(x, offset, self.weight, self.bias,
+                                            self.stride, self.padding,
+                                            self.dilation, mask)
+
         ops = types.ModuleType("wm_basicsr.ops")
         ops.__path__ = []
         dcn = types.ModuleType("wm_basicsr.ops.dcn")
-        dcn.ModulatedDeformConvPack = type("ModulatedDeformConvPack", (), {})
+        dcn.ModulatedDeformConvPack = ModulatedDeformConvPack
         dcn.modulated_deform_conv = None
         dcn.DeformConvPack = type("DeformConvPack", (), {})
         dcn.deform_conv = None
