@@ -16,6 +16,7 @@ from comfyui_keep_tpu.models import sr_extra  # noqa: F401
 from comfyui_keep_tpu.models import video_sr  # noqa: F401
 from comfyui_keep_tpu.models import stylegan2  # noqa: F401
 from comfyui_keep_tpu.models import swinir  # noqa: F401
+from comfyui_keep_tpu.models import misc_archs  # noqa: F401
 
 
 def build_network(name: str):
