@@ -1,0 +1,126 @@
+"""Aux subsystem tests: DiffJPEG (golden vs reference), USM, RealESRGANer,
+video IO, options/config, logger."""
+import os
+
+import numpy as np
+import pytest
+import jax
+import jax.numpy as jnp
+
+torch = pytest.importorskip("torch")
+cv2 = pytest.importorskip("cv2")
+
+from tests import reference_oracle as oracle
+
+
+class TestDiffJPEG:
+    @pytest.fixture(scope="class")
+    def ref_jpeg(self):
+        if not oracle.reference_available():
+            pytest.skip("no reference")
+        mod = oracle._module_from_file(
+            "ref_diffjpeg",
+            "/root/reference/modules/deps/wm_basicsr/utils/diffjpeg.py")
+        return mod
+
+    @pytest.mark.parametrize("quality,diff", [(20, False), (70, False),
+                                              (50, True)])
+    def test_vs_reference(self, ref_jpeg, rng, quality, diff):
+        from comfyui_keep_tpu.utils.diffjpeg import diff_jpeg
+        x = rng.random((1, 24, 24, 3), dtype=np.float32)
+        net = ref_jpeg.DiffJPEG(differentiable=diff)
+        with torch.no_grad():
+            ref = net(torch.tensor(x.transpose(0, 3, 1, 2)),
+                      quality=float(quality))
+        ours = diff_jpeg(jnp.asarray(x), quality=float(quality),
+                         differentiable=diff)
+        np.testing.assert_allclose(np.asarray(ours),
+                                   ref.numpy().transpose(0, 2, 3, 1),
+                                   atol=2e-3, rtol=1e-2)
+
+    def test_differentiable(self, rng):
+        from comfyui_keep_tpu.utils.diffjpeg import diff_jpeg
+        x = jnp.asarray(rng.random((1, 16, 16, 3), dtype=np.float32))
+        g = jax.grad(lambda z: jnp.sum(diff_jpeg(z, 50.0) ** 2))(x)
+        assert np.isfinite(np.asarray(g)).all()
+
+
+def test_usm_sharp_twins(rng):
+    from comfyui_keep_tpu.utils.img_process import usm_sharp, usm_sharp_jax
+    img = rng.random((32, 32, 3), dtype=np.float32)
+    a = usm_sharp(img, radius=13)
+    b = np.asarray(usm_sharp_jax(jnp.asarray(img[None]), radius=13))[0]
+    np.testing.assert_allclose(a, b, atol=2e-3)
+
+
+def test_realesrganer(rng):
+    from comfyui_keep_tpu.pipeline.realesrganer import RealESRGANer
+    from comfyui_keep_tpu.models.sr_basic import SRVGGNetCompact
+    params = SRVGGNetCompact.init(jax.random.PRNGKey(0), num_feat=8,
+                                  num_conv=2, upscale=2)
+    up = RealESRGANer(
+        2, lambda p, x: SRVGGNetCompact.apply(p, x, upscale=2), params,
+        tile=16, tile_pad=4, pre_pad=4)
+    img = (rng.random((30, 42, 3)) * 255).astype(np.uint8)
+    out, mode = up.enhance(img)
+    assert out.shape == (60, 84, 3) and mode == "RGB"
+    # alpha path
+    rgba = (rng.random((20, 20, 4)) * 255).astype(np.uint8)
+    out, mode = up.enhance(rgba, outscale=1.5)
+    assert out.shape == (30, 30, 4) and mode == "RGBA"
+    # gray path
+    gray = (rng.random((20, 20)) * 255).astype(np.uint8)
+    out, mode = up.enhance(gray)
+    assert out.shape == (40, 40) and mode == "L"
+
+
+def test_video_io_roundtrip(tmp_path, rng):
+    from comfyui_keep_tpu.utils.video import VideoReader, VideoWriter
+    path = str(tmp_path / "clip.mp4")
+    frames = [(rng.random((32, 48, 3)) * 255).astype(np.uint8)
+              for _ in range(5)]
+    w = VideoWriter(path, 32, 48, fps=10)
+    for f in frames:
+        w.write_frame(f)
+    w.close()
+    r = VideoReader(path)
+    assert r.get_fps() == pytest.approx(10, rel=0.1)
+    got = []
+    while True:
+        f = r.get_frame()
+        if f is None:
+            break
+        got.append(f)
+    r.close()
+    assert len(got) == 5
+    assert got[0].shape == (32, 48, 3)
+
+
+def test_options_yaml(tmp_path):
+    from comfyui_keep_tpu.utils.options import (yaml_load, apply_force_yml,
+                                                _postprocess_yml_value)
+    cfg = tmp_path / "opt.yml"
+    cfg.write_text("name: test\ntrain:\n  lr: 0.001\n  ema_decay: 0.99\n")
+    opt = yaml_load(str(cfg))
+    assert opt["train"]["lr"] == 0.001
+    apply_force_yml(opt, ["train:ema_decay=0.5", "train:lr=1e-4"])
+    assert opt["train"]["ema_decay"] == 0.5
+    assert opt["train"]["lr"] == 1e-4
+    assert _postprocess_yml_value("none") is None
+    assert _postprocess_yml_value("true") is True
+    assert _postprocess_yml_value("[1,2]") == [1, 2]
+
+
+def test_logger_and_misc(tmp_path):
+    from comfyui_keep_tpu.utils.logger import (AvgTimer, MessageLogger,
+                                               get_env_info, get_root_logger)
+    from comfyui_keep_tpu.utils.misc import sizeof_fmt, set_random_seed
+    t = AvgTimer()
+    t.record()
+    assert t.get_avg_time() >= 0
+    ml = MessageLogger({"name": "x", "train": {"total_iter": 10},
+                        "logger": {"print_freq": 1}})
+    ml({"iter": 1, "epoch": 0, "lrs": [1e-4], "time": 0.1, "l_pix": 0.5})
+    assert "JAX" in get_env_info()
+    assert sizeof_fmt(2048) == "2.0 KB"
+    set_random_seed(3)
