@@ -16,7 +16,8 @@ import comfyui_keep_tpu.models  # noqa: F401 — populate ARCH_REGISTRY
 from comfyui_keep_tpu.training.losses import build_loss
 from comfyui_keep_tpu.training.schedulers import build_scheduler, with_warmup
 from comfyui_keep_tpu.training.state import (TrainState, build_optimizer,
-                                             ema_update, masked_optimizer)
+                                             ema_update, masked_optimizer,
+                                             freeze_mask)
 from comfyui_keep_tpu.utils.registry import MODEL_REGISTRY
 
 
@@ -399,6 +400,159 @@ class KEEPGANTrainer(KEEPTrainer):
         return d_params, d_opt_state, {"l_d": float(loss),
                                        "l_d_real": float(lr_),
                                        "l_d_fake": float(lf_)}
+
+
+@MODEL_REGISTRY.register(name="SRGANModel")
+class SRGANTrainer(SRTrainer):
+    """GAN-based SR trainer (models/srgan_model.py, also the base of
+    ESRGANModel / RealESRGANModel): pixel + perceptual + GAN losses with g/d
+    alternation, net_d_iters / net_d_init_iters gating."""
+
+    def __init__(self, opt, mesh=None, feature_fn=None):
+        super().__init__(opt, mesh, feature_fn)
+        t = opt.get("train", {})
+        self.cri_gan = build_loss(t["gan_opt"]) if t.get("gan_opt") else None
+        self.net_d_iters = t.get("net_d_iters", 1)
+        self.net_d_init_iters = t.get("net_d_init_iters", 0)
+        from comfyui_keep_tpu.utils.registry import ARCH_REGISTRY
+        d_opt = dict(opt.get("network_d", {"type": "UNetDiscriminatorSN"}))
+        self.d_arch = ARCH_REGISTRY.get(d_opt.pop("type"))
+        self.d_cfg = d_opt
+        import inspect
+        sig = inspect.signature(self.d_arch.apply)
+        self._d_apply_cfg = {k: v for k, v in d_opt.items()
+                             if k in sig.parameters}
+
+    def make_state(self, key):
+        import jax
+        state = super().make_state(key)
+        self.d_params = self.d_arch.init(jax.random.fold_in(key, 777),
+                                         **self.d_cfg)
+        self.tx_d = build_optimizer(dict(self.opt["train"].get(
+            "optim_d", {"type": "Adam", "lr": 1e-4})), schedule=self.schedule)
+        self.d_opt_state = self.tx_d.init(self.d_params)
+        return state
+
+    def gan_train_step(self, state, batch, current_iter):
+        import jax
+        import jax.numpy as jnp
+        import optax
+        train_g = (current_iter % self.net_d_iters == 0 and
+                   current_iter >= self.net_d_init_iters)
+
+        def g_loss(params, d_params, batch):
+            out = self.forward(params, batch["lq"])
+            total, loss_dict = 0.0, {}
+            if self.cri_pix is not None:
+                l_pix = self.cri_pix(out, batch["gt"])
+                total += l_pix
+                loss_dict["l_g_pix"] = l_pix
+            if self.cri_perceptual is not None:
+                l_p, l_s = self.cri_perceptual(out, batch["gt"])
+                if l_p is not None:
+                    total += l_p
+                    loss_dict["l_g_percep"] = l_p
+                if l_s is not None:
+                    total += l_s
+                    loss_dict["l_g_style"] = l_s
+            if self.cri_gan is not None:
+                fake_pred = self.d_arch.apply(d_params, out, **self._d_apply_cfg)
+                l_gan = self.cri_gan(fake_pred, True, is_disc=False)
+                total += l_gan
+                loss_dict["l_g_gan"] = l_gan
+            return total, (loss_dict, out)
+
+        logs = {}
+        if train_g:
+            (loss, (logs, out)), grads = jax.value_and_grad(
+                g_loss, has_aux=True)(state.params, self.d_params, batch)
+            updates, state.opt_state = self.tx.update(grads, state.opt_state,
+                                                      state.params)
+            state.params = optax.apply_updates(state.params, updates)
+            if state.ema_params is not None:
+                state.ema_params = ema_update(state.ema_params, state.params,
+                                              self.ema_decay)
+        else:
+            out = self.forward(state.params, batch["lq"])
+
+        def d_loss(dp):
+            real_pred = self.d_arch.apply(dp, batch["gt"], **self._d_apply_cfg)
+            l_real = self.cri_gan(real_pred, True, is_disc=True)
+            fake_pred = self.d_arch.apply(dp, jax.lax.stop_gradient(out),
+                                          **self._d_apply_cfg)
+            l_fake = self.cri_gan(fake_pred, False, is_disc=True)
+            return l_real + l_fake, (l_real, l_fake)
+
+        if self.cri_gan is not None:
+            (ld, (lr_, lf_)), dgrads = jax.value_and_grad(
+                d_loss, has_aux=True)(self.d_params)
+            dupd, self.d_opt_state = self.tx_d.update(dgrads, self.d_opt_state,
+                                                      self.d_params)
+            self.d_params = optax.apply_updates(self.d_params, dupd)
+            logs.update({"l_d": ld, "l_d_real": lr_, "l_d_fake": lf_})
+        state.iter += 1
+        return state, {k: float(v) for k, v in logs.items()}
+
+
+# model-type aliases: the reference registers a wrapper class per family
+# (models/*.py, SURVEY §2.7); these share the trainers above.
+MODEL_REGISTRY.register(SRTrainer, name="RealESRNetModel")
+MODEL_REGISTRY.register(SRGANTrainer, name="ESRGANModel")
+MODEL_REGISTRY.register(SRGANTrainer, name="RealESRGANModel")
+MODEL_REGISTRY.register(SRTrainer, name="SwinIRModel")
+
+
+@MODEL_REGISTRY.register(name="VideoRecurrentModel")
+class VideoRecurrentTrainer(BaseTrainer):
+    """Recurrent video SR trainer (models/video_recurrent_model.py:15-197):
+    flow-net LR multiplier and fix_flow warmup freeze, clip-level training."""
+
+    def __init__(self, opt, mesh=None, flow_prefix="spynet"):
+        super().__init__(opt, mesh)
+        t = opt.get("train", {})
+        self.cri_pix = build_loss(t["pixel_opt"]) if t.get("pixel_opt") else None
+        self.flow_lr_mul = t.get("flow_lr_mul", 0.125)
+        self.fix_flow_iter = t.get("fix_flow", 0)
+        self.flow_prefix = flow_prefix
+        from comfyui_keep_tpu.utils.registry import ARCH_REGISTRY
+        net = dict(opt["network_g"])
+        self.arch = ARCH_REGISTRY.get(net.pop("type"))
+        self.net_cfg = net
+
+    def init_params(self, key):
+        return self.arch.init(key, **self.net_cfg)
+
+    def make_optimizer(self, params):
+        import optax
+        train_opt = self.opt.get("train", {})
+        base = dict(train_opt.get("optim_g", {"type": "Adam", "lr": 1e-4}))
+        tx_main = build_optimizer(dict(base), schedule=self.schedule)
+        flow_opt = dict(base)
+        flow_opt["lr"] = flow_opt.get("lr", 1e-4) * self.flow_lr_mul
+        tx_flow = build_optimizer(flow_opt, schedule=self.schedule)
+        mask = freeze_mask(params, (self.flow_prefix,))
+        # 'frozen' label marks the flow subtree -> reduced-lr transform
+        return optax.multi_transform(
+            {"trainable": tx_main, "frozen": tx_flow}, mask)
+
+    def loss_fn(self, params, batch, rng):
+        if self.fix_flow_iter:
+            import jax
+            # warmup freeze (video_recurrent_model.py setup): stop flow grads
+            params = dict(params)
+            params[self.flow_prefix] = jax.lax.stop_gradient(
+                params[self.flow_prefix])
+        out = self.arch.apply(params, batch["lq"], **{
+            k: v for k, v in self.net_cfg.items()
+            if k in ("num_feat", "mid_channels", "deformable_groups")})
+        l_pix = self.cri_pix(out, batch["gt"])
+        return l_pix, {"l_pix": l_pix, "l_total": l_pix}
+
+
+MODEL_REGISTRY.register(VideoRecurrentTrainer, name="VideoBaseModel")
+MODEL_REGISTRY.register(VideoRecurrentTrainer, name="VideoGANModel")
+MODEL_REGISTRY.register(VideoRecurrentTrainer, name="VideoRecurrentGANModel")
+MODEL_REGISTRY.register(VideoRecurrentTrainer, name="EDVRModel")
 
 
 def build_model(opt: Dict, **kw):

@@ -1,0 +1,80 @@
+"""Validation loops + GAN/video trainers."""
+import numpy as np
+import pytest
+import jax
+import jax.numpy as jnp
+
+from comfyui_keep_tpu.training.validation import (validate_images,
+                                                  validate_videos,
+                                                  flip_seq_self_ensemble)
+from comfyui_keep_tpu.training.trainers import build_model
+
+
+def test_validate_images_psnr(rng):
+    gt = rng.random((1, 32, 32, 3), dtype=np.float32)
+    noisy = np.clip(gt + rng.standard_normal(gt.shape).astype(np.float32) * 0.05,
+                    0, 1)
+    loader = [{"lq": noisy, "gt": gt}]
+    res = validate_images(lambda lq: lq, loader,
+                          {"psnr": {"type": "calculate_psnr", "crop_border": 0}})
+    assert 20 < res["psnr"] < 40
+
+
+def test_validate_videos_per_folder(rng):
+    gt = rng.random((1, 3, 16, 16, 3), dtype=np.float32)
+    loader = [{"lq": gt, "gt": gt, "folder": "clipA"},
+              {"lq": gt * 0.9, "gt": gt, "folder": "clipB"}]
+    per_folder, avg = validate_videos(
+        lambda lq: lq, loader,
+        {"psnr": {"type": "calculate_psnr", "crop_border": 0}})
+    assert set(per_folder) == {"clipA", "clipB"}
+    assert per_folder["clipA"]["psnr"] > per_folder["clipB"]["psnr"]
+    assert "psnr" in avg
+
+
+def test_flip_seq_ensemble(rng):
+    lq = jnp.asarray(rng.random((1, 4, 8, 8, 3), dtype=np.float32))
+    out = flip_seq_self_ensemble(lambda x: x * 2.0, lq)
+    np.testing.assert_allclose(np.asarray(out), np.asarray(lq) * 2.0, atol=1e-6)
+
+
+def test_srgan_trainer_step(rng):
+    opt = {
+        "model_type": "SRGANModel",
+        "network_g": {"type": "MSRResNet", "num_feat": 8, "num_block": 1,
+                      "upscale": 2},
+        "network_d": {"type": "UNetDiscriminatorSN", "num_in_ch": 3,
+                      "num_feat": 8},
+        "train": {"pixel_opt": {"type": "L1Loss"},
+                  "gan_opt": {"type": "GANLoss", "gan_type": "vanilla",
+                              "loss_weight": 0.1},
+                  "optim_g": {"type": "Adam", "lr": 1e-4},
+                  "optim_d": {"type": "Adam", "lr": 1e-4}},
+    }
+    tr = build_model(opt)
+    state = tr.make_state(jax.random.PRNGKey(0))
+    batch = {"lq": jnp.asarray(rng.random((1, 16, 16, 3), dtype=np.float32)),
+             "gt": jnp.asarray(rng.random((1, 32, 32, 3), dtype=np.float32))}
+    state, logs = tr.gan_train_step(state, batch, current_iter=1)
+    assert {"l_g_pix", "l_g_gan", "l_d", "l_d_real", "l_d_fake"} <= set(logs)
+    assert all(np.isfinite(v) for v in logs.values())
+
+
+def test_video_recurrent_trainer_step(rng):
+    opt = {
+        "model_type": "VideoRecurrentModel",
+        "network_g": {"type": "BasicVSR", "num_feat": 8, "num_block": 1},
+        "train": {"pixel_opt": {"type": "CharbonnierLoss", "eps": 1e-12},
+                  "flow_lr_mul": 0.125,
+                  "optim_g": {"type": "Adam", "lr": 1e-4}},
+    }
+    tr = build_model(opt)
+    state = tr.make_state(jax.random.PRNGKey(0))
+    batch = {"lq": jnp.asarray(rng.random((1, 3, 64, 64, 3), dtype=np.float32)),
+             "gt": jnp.asarray(rng.random((1, 3, 256, 256, 3), dtype=np.float32))}
+    p0 = np.asarray(state.params["spynet"]["basic_module"][0]["basic_module"][0]["w"])
+    state, logs = tr.train_step(state, batch)
+    assert np.isfinite(logs["l_pix"])
+    # flow net trains at reduced lr (not frozen, not zero update)
+    p1 = np.asarray(state.params["spynet"]["basic_module"][0]["basic_module"][0]["w"])
+    assert not np.allclose(p0, p1)
