@@ -75,3 +75,17 @@ def test_arcface_parity(rng):
     ours = ResNetArcFace.apply(tree, jnp.asarray(x))
     np.testing.assert_allclose(np.asarray(ours), ref.numpy(), atol=1e-3,
                                rtol=1e-2)
+
+
+def test_inception_shapes():
+    """InceptionV3 FID port: param count matches torchvision inception_v3
+    conv trunk (21.82M) and block dims match BLOCK_INDEX_BY_DIM."""
+    import jax
+    from comfyui_keep_tpu.models.inception import InceptionV3
+    p = InceptionV3.init(jax.random.PRNGKey(0))
+    n = sum(x.size for x in jax.tree.leaves(p))
+    assert abs(n - 21_816_224) < 500_000
+    x = jnp.zeros((1, 75, 75, 3))
+    outs = InceptionV3.apply(p, x, output_blocks=(0, 1, 2, 3),
+                             resize_input=False)
+    assert [o.shape[-1] for o in outs] == [64, 192, 768, 2048]
