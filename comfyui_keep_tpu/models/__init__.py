@@ -17,6 +17,10 @@ from comfyui_keep_tpu.models import video_sr  # noqa: F401
 from comfyui_keep_tpu.models import stylegan2  # noqa: F401
 from comfyui_keep_tpu.models import swinir  # noqa: F401
 from comfyui_keep_tpu.models import misc_archs  # noqa: F401
+from comfyui_keep_tpu.models import inception  # noqa: F401
+from comfyui_keep_tpu.models import hifacegan  # noqa: F401
+from comfyui_keep_tpu.models import dfdnet  # noqa: F401
+from comfyui_keep_tpu.facelib import yolov5face  # noqa: F401
 
 
 def build_network(name: str):
