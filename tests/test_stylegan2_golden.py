@@ -92,3 +92,29 @@ def test_discriminator_parity(ref_mod, rng):
     ours = StyleGAN2Discriminator.apply(tree, jnp.asarray(x), out_size=32)
     np.testing.assert_allclose(np.asarray(ours), ref.numpy(), atol=2e-3,
                                rtol=1e-2)
+
+
+def test_generator_bilinear_parity(ref_mod, rng):
+    import sys
+    oracle._module_from_file
+    mod = oracle._module_from_file(
+        "wm_basicsr.archs.stylegan2_bilinear_arch",
+        f"{ARCHS}/stylegan2_bilinear_arch.py")
+    from comfyui_keep_tpu.models.stylegan2_bilinear import (
+        StyleGAN2GeneratorBilinear)
+    from comfyui_keep_tpu.models.stylegan2 import convert_stylegan2_generator
+    torch.manual_seed(2)
+    net = mod.StyleGAN2GeneratorBilinear(out_size=32, num_style_feat=32,
+                                         num_mlp=2, channel_multiplier=1,
+                                         narrow=0.25).eval()
+    sd = {k: v.detach().numpy() for k, v in net.state_dict().items()}
+    tree = convert_stylegan2_generator(sd)
+    z = rng.standard_normal((1, 32), dtype=np.float32)
+    with torch.no_grad():
+        ref_img, _ = net([torch.tensor(z)], randomize_noise=False)
+    img, _ = StyleGAN2GeneratorBilinear.apply(tree, [jnp.asarray(z)],
+                                              out_size=32, num_style_feat=32,
+                                              randomize_noise=False)
+    np.testing.assert_allclose(np.asarray(img),
+                               ref_img.numpy().transpose(0, 2, 3, 1),
+                               atol=2e-3, rtol=1e-2)
