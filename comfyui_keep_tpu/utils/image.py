@@ -10,15 +10,27 @@ import numpy as np
 
 
 def bgr_u8_to_rgb_pm1(img: np.ndarray) -> np.ndarray:
-    """uint8 BGR HWC -> float32 RGB [-1, 1] (img2tensor + normalize(0.5,0.5))."""
+    """uint8 BGR HWC -> float32 RGB [-1, 1] (img2tensor + normalize(0.5,0.5)).
+    Uses the C++ host runtime (native/) when available."""
+    if img.dtype == np.uint8 and img.shape[-1] == 3:
+        from comfyui_keep_tpu import native
+        out = native.bgr_u8_to_rgb_pm1_native(img)
+        if out is not None:
+            return out
     x = img.astype(np.float32)[..., ::-1] / 255.0
     return (x - 0.5) / 0.5
 
 
 def rgb_pm1_to_bgr_u8(x: np.ndarray) -> np.ndarray:
     """float RGB [-1,1] -> uint8 BGR, matching tensor2img(min_max=(-1,1)):
-    clamp, rescale to [0,1], *255, round."""
-    x = np.clip(np.asarray(x, np.float32), -1.0, 1.0)
+    clamp, rescale to [0,1], *255, round. C++ fast path when available."""
+    x = np.asarray(x, np.float32)
+    if x.shape[-1] == 3:
+        from comfyui_keep_tpu import native
+        out = native.rgb_pm1_to_bgr_u8_native(x)
+        if out is not None:
+            return out
+    x = np.clip(x, -1.0, 1.0)
     x = (x + 1.0) / 2.0
     x = (x[..., ::-1] * 255.0).round()
     return x.astype(np.uint8)
