@@ -1,0 +1,61 @@
+"""Node protocol layer + model zoo tests."""
+import numpy as np
+import pytest
+
+cv2 = pytest.importorskip("cv2")
+
+from comfyui_keep_tpu import nodes, api
+from comfyui_keep_tpu.utils import zoo
+
+TINY = dict(img_size=64, nf=32, ch_mult=(1, 2, 2), res_blocks=1,
+            attn_resolutions=(16,), codebook_size=32, emb_dim=32, dim_embd=32,
+            n_head=4, n_layers=1, latent_size=256, cft_list=("32",),
+            cfa_list=(), cfa_nhead=2, cfa_dim=8, kalman_attn_head_dim=8,
+            num_uncertainty_layers=1, temp_reg_list=())
+
+
+def test_node_mappings_parity():
+    assert set(nodes.NODE_CLASS_MAPPINGS) == {
+        "KEEP_ModelLoader", "KEEP_FaceUpscaleImage",
+        "KEEP_ProcessImageSequence"}
+    assert nodes.NODE_DISPLAY_NAME_MAPPINGS["KEEP_ModelLoader"] == \
+        "Load KEEP Models"
+    for cls in nodes.NODE_CLASS_MAPPINGS.values():
+        schema = cls.INPUT_TYPES()
+        assert "required" in schema
+        assert hasattr(cls, "RETURN_TYPES") and hasattr(cls, "FUNCTION")
+
+
+def test_single_image_node_roundtrip(rng):
+    pack = api.load_models("KEEP", use_cache=False, cfg_overrides=TINY)
+    pack.gmflow_params = None
+    node = nodes.KEEP_FaceUpscaleImageNode()
+    img = rng.random((1, 48, 48, 3)).astype(np.float32)
+    (out,) = node.upscale_face_image(pack, img, 1.0, True, True, False)
+    assert out.shape == (1, 64, 64, 3)
+    assert out.dtype == np.float32 and out.min() >= 0 and out.max() <= 1
+
+
+def test_sequence_node(rng):
+    pack = api.load_models("KEEP", use_cache=False, cfg_overrides=TINY)
+    pack.gmflow_params = None
+    node = nodes.KEEP_ProcessImageSequenceNode()
+    imgs = rng.random((3, 64, 64, 3)).astype(np.float32)
+    (out,) = node.process_sequence(pack, imgs, 1.0, True, True, False, 2)
+    assert out.shape == (3, 64, 64, 3)
+
+
+def test_zoo_configs():
+    assert set(zoo.KEEP_MODEL_CONFIGS) == {"KEEP", "Asian"}
+    cfg = zoo.KEEP_MODEL_CONFIGS["KEEP"]["architecture"]
+    assert cfg["cft_list"] == ("16", "32", "64")
+    assert zoo.KEEP_MODEL_CONFIGS["Asian"]["architecture"]["cft_list"] == \
+        ("32", "64", "128", "256")
+    assert len(zoo.FACELIB_MODEL_URLS) == 5
+
+
+def test_zoo_sha_check(tmp_path):
+    f = tmp_path / "x.bin"
+    f.write_bytes(b"hello")
+    digest = zoo.sha256_file(str(f))
+    assert digest.startswith("2cf24dba")
