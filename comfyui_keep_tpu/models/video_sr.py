@@ -497,3 +497,131 @@ class BasicVSRPlusPlus:
             hr = hr + resize_bilinear(lqs[:, i], (h * 4, w * 4))
             outs.append(hr)
         return jnp.stack(outs, axis=1)
+
+
+# ---------------------------------------------------------------------------
+# IconVSR (basicvsr_arch.py:124-276): BasicVSR + EDVR keyframe refinement
+# ---------------------------------------------------------------------------
+
+def edvr_feature_extractor_init(key, num_input_frame, num_feat):
+    """EDVRFeatureExtractor (basicvsr_arch.py:278-336)."""
+    ks = jax.random.split(key, 8)
+    return {
+        "conv_first": conv2d_init(ks[0], 3, 3, 3, num_feat),
+        "feature_extraction": [_res_block_nobn_init(k, num_feat)
+                               for k in jax.random.split(ks[1], 5)],
+        "conv_l2_1": conv2d_init(ks[2], 3, 3, num_feat, num_feat),
+        "conv_l2_2": conv2d_init(ks[3], 3, 3, num_feat, num_feat),
+        "conv_l3_1": conv2d_init(ks[4], 3, 3, num_feat, num_feat),
+        "conv_l3_2": conv2d_init(ks[5], 3, 3, num_feat, num_feat),
+        "pcd_align": pcd_alignment_init(ks[6], num_feat, 8),
+        "fusion": tsa_fusion_init(ks[7], num_feat, num_input_frame),
+    }
+
+
+def edvr_feature_extractor(p, x, num_input_frame):
+    """x: (B, N, H, W, 3) -> fused center-frame feature (B, H, W, C)."""
+    b, n, h, w, c = x.shape
+    center = num_input_frame // 2
+    feat_l1 = leaky_relu(_conv(p["conv_first"], x.reshape(-1, h, w, c)), 0.1)
+    for bp in p["feature_extraction"]:
+        feat_l1 = _res_block_nobn(bp, feat_l1)
+    feat_l2 = leaky_relu(conv2d(feat_l1, p["conv_l2_1"]["w"], p["conv_l2_1"]["b"],
+                                stride=2, padding=1), 0.1)
+    feat_l2 = leaky_relu(_conv(p["conv_l2_2"], feat_l2), 0.1)
+    feat_l3 = leaky_relu(conv2d(feat_l2, p["conv_l3_1"]["w"], p["conv_l3_1"]["b"],
+                                stride=2, padding=1), 0.1)
+    feat_l3 = leaky_relu(_conv(p["conv_l3_2"], feat_l3), 0.1)
+    fl1 = feat_l1.reshape(b, n, h, w, -1)
+    fl2 = feat_l2.reshape(b, n, h // 2, w // 2, -1)
+    fl3 = feat_l3.reshape(b, n, h // 4, w // 4, -1)
+    ref_l = [fl1[:, center], fl2[:, center], fl3[:, center]]
+    aligned = [pcd_alignment(p["pcd_align"], [fl1[:, i], fl2[:, i], fl3[:, i]],
+                             ref_l, 8) for i in range(n)]
+    return tsa_fusion(p["fusion"], jnp.stack(aligned, axis=1), center)
+
+
+@ARCH_REGISTRY.register(name="IconVSR")
+class IconVSR:
+    @staticmethod
+    def init(key, num_feat=64, num_block=15, temporal_padding=2):
+        ks = jax.random.split(key, 10)
+        nf = num_feat
+        return {
+            "edvr": edvr_feature_extractor_init(ks[0],
+                                                temporal_padding * 2 + 1, nf),
+            "spynet": SpyNet.init(ks[1]),
+            "backward_fusion": conv2d_init(ks[2], 3, 3, 2 * nf, nf),
+            "backward_trunk": conv_res_blocks_init(ks[3], nf + 3, nf, num_block),
+            "forward_fusion": conv2d_init(ks[4], 3, 3, 2 * nf, nf),
+            "forward_trunk": conv_res_blocks_init(ks[5], 2 * nf + 3, nf, num_block),
+            "upconv1": conv2d_init(ks[6], 3, 3, nf, nf * 4),
+            "upconv2": conv2d_init(ks[7], 3, 3, nf, 64 * 4),
+            "conv_hr": conv2d_init(ks[8], 3, 3, 64, 64),
+            "conv_last": conv2d_init(ks[9], 3, 3, 64, 3),
+        }
+
+    @staticmethod
+    def apply(params, x, num_feat=64, keyframe_stride=5, temporal_padding=2):
+        """x: (B, T, H, W, 3) [0,1] -> (B, T, 4H, 4W, 3). Python-loop
+        propagation (static T)."""
+        b, n, h_in, w_in, _ = x.shape
+        pad_h = (4 - h_in % 4) % 4
+        pad_w = (4 - w_in % 4) % 4
+        if pad_h or pad_w:
+            x = jnp.pad(x, ((0, 0), (0, 0), (0, pad_h), (0, pad_w), (0, 0)),
+                        mode="reflect")
+        h, w = x.shape[2], x.shape[3]
+
+        keyframe_idx = list(range(0, n, keyframe_stride))
+        if keyframe_idx[-1] != n - 1:
+            keyframe_idx.append(n - 1)
+
+        flows_forward, flows_backward = BasicVSR.get_flows(params, x)
+
+        # keyframe features: temporally pad with mirrored frames (:203-214)
+        tp = temporal_padding
+        if tp == 2:
+            xp = jnp.concatenate([x[:, jnp.asarray([4, 3])], x,
+                                  x[:, jnp.asarray([-4, -5])]], axis=1)
+        else:
+            xp = jnp.concatenate([x[:, jnp.asarray([6, 5, 4])], x,
+                                  x[:, jnp.asarray([-5, -6, -7])]], axis=1)
+        nf_frames = 2 * tp + 1
+        feats_keyframe = {
+            i: edvr_feature_extractor(params["edvr"], xp[:, i:i + nf_frames],
+                                      nf_frames)
+            for i in keyframe_idx}
+
+        out_l = [None] * n
+        feat_prop = jnp.zeros((b, h, w, num_feat), x.dtype)
+        for i in range(n - 1, -1, -1):
+            if i < n - 1:
+                feat_prop = flow_warp(feat_prop, flows_backward[:, i])
+            if i in keyframe_idx:
+                feat_prop = _conv(params["backward_fusion"],
+                                  jnp.concatenate([feat_prop,
+                                                   feats_keyframe[i]], -1))
+            feat_prop = conv_res_blocks(params["backward_trunk"],
+                                        jnp.concatenate([x[:, i], feat_prop], -1))
+            out_l[i] = feat_prop
+
+        feat_prop = jnp.zeros_like(feat_prop)
+        outs = []
+        for i in range(n):
+            if i > 0:
+                feat_prop = flow_warp(feat_prop, flows_forward[:, i - 1])
+            if i in keyframe_idx:
+                feat_prop = _conv(params["forward_fusion"],
+                                  jnp.concatenate([feat_prop,
+                                                   feats_keyframe[i]], -1))
+            feat_prop = conv_res_blocks(
+                params["forward_trunk"],
+                jnp.concatenate([x[:, i], out_l[i], feat_prop], -1))
+            out = leaky_relu(pixel_shuffle(_conv(params["upconv1"], feat_prop), 2), 0.1)
+            out = leaky_relu(pixel_shuffle(_conv(params["upconv2"], out), 2), 0.1)
+            out = leaky_relu(_conv(params["conv_hr"], out), 0.1)
+            out = _conv(params["conv_last"], out)
+            out = out + resize_bilinear(x[:, i], (h * 4, w * 4))
+            outs.append(out)
+        return jnp.stack(outs, axis=1)[:, :, :4 * h_in, :4 * w_in]

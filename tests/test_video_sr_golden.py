@@ -122,3 +122,24 @@ def test_basicvsrpp_parity(rng):
                                    atol=3e-3, rtol=1e-2)
     finally:
         torch.cuda.is_available = orig
+
+
+def test_iconvsr_parity(rng):
+    mod = _ref("basicvsr_arch.py")
+    from comfyui_keep_tpu.models.video_sr import IconVSR
+    torch.manual_seed(3)
+    net = mod.IconVSR(num_feat=8, num_block=1, keyframe_stride=3,
+                      temporal_padding=2).eval()
+    with torch.no_grad():
+        for name, m in net.named_modules():
+            if name.endswith("conv_offset"):
+                m.weight.normal_(0, 0.05)
+                m.bias.normal_(0, 0.05)
+    tree = _tree(net)
+    x = rng.random((1, 7, 64, 64, 3), dtype=np.float32)
+    with torch.no_grad():
+        ref = net(torch.tensor(x.transpose(0, 1, 4, 2, 3)))
+    ours = IconVSR.apply(tree, jnp.asarray(x), num_feat=8, keyframe_stride=3)
+    np.testing.assert_allclose(np.asarray(ours),
+                               ref.numpy().transpose(0, 1, 3, 4, 2),
+                               atol=3e-3, rtol=1e-2)
