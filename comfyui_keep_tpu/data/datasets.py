@@ -236,3 +236,155 @@ class VideoTestDataset:
                 [_read_img(os.path.join(self.gt_root, folder, p))[..., ::-1]
                  for p in gt_paths]).astype(np.float32)
         return out
+
+
+@DATASET_REGISTRY.register(name="REDSDataset")
+class REDSDataset:
+    """REDS sliding-window clips (reference reds_dataset.py): keys
+    `clip/frame_idx`, num_frame neighbors with interval, paired GT/LQ."""
+
+    def __init__(self, opt: Dict):
+        self.opt = opt
+        self.gt_root = opt["dataroot_gt"]
+        self.lq_root = opt["dataroot_lq"]
+        self.num_frame = opt.get("num_frame", 5)
+        self.num_half = self.num_frame // 2
+        self.interval_list = opt.get("interval_list", [1])
+        self.random_reverse = opt.get("random_reverse", False)
+        self.scale = opt.get("scale", 4)
+        with open(opt["meta_info_file"]) as f:
+            self.keys = []
+            for line in f:
+                if not line.strip():
+                    continue
+                clip, n_frames = line.split()[:2]
+                self.keys.extend(f"{clip}/{i:08d}" for i in range(int(n_frames)))
+
+    def __len__(self):
+        return len(self.keys)
+
+    def __getitem__(self, index):
+        import cv2
+        clip, frame = self.keys[index].rsplit("/", 1)
+        center = int(frame)
+        interval = random.choice(self.interval_list)
+        start = center - self.num_half * interval
+        end = center + self.num_half * interval
+        total = len(scandir(os.path.join(self.gt_root, clip)))
+        while start < 0 or end >= total:
+            center = random.randint(self.num_half * interval,
+                                    total - 1 - self.num_half * interval)
+            start = center - self.num_half * interval
+            end = center + self.num_half * interval
+        neighbors = list(range(start, end + 1, interval))
+        if self.random_reverse and random.random() < 0.5:
+            neighbors.reverse()
+        lqs = [_read_img(os.path.join(self.lq_root, clip, f"{i:08d}.png"))
+               for i in neighbors]
+        gt = _read_img(os.path.join(self.gt_root, clip, f"{center:08d}.png"))
+        if self.opt.get("phase") == "train":
+            gt_size = self.opt.get("gt_size", 256)
+            gt, lqs = paired_random_crop(gt, lqs, gt_size, self.scale)
+            out = augment([gt] + lqs, self.opt.get("use_hflip", True),
+                          self.opt.get("use_rot", True))
+            gt, lqs = out[0], out[1:]
+        return {"lq": np.stack([v[..., ::-1] for v in lqs]).astype(np.float32),
+                "gt": gt[..., ::-1].astype(np.float32).copy(),
+                "key": self.keys[index]}
+
+
+@DATASET_REGISTRY.register(name="Vimeo90KDataset")
+class Vimeo90KDataset:
+    """Vimeo90K septuplets (reference vimeo90k_dataset.py): meta lines
+    `clip/seq`, frames im1..im7, GT = center frame."""
+
+    def __init__(self, opt: Dict):
+        self.opt = opt
+        self.gt_root = opt["dataroot_gt"]
+        self.lq_root = opt["dataroot_lq"]
+        self.num_frame = opt.get("num_frame", 7)
+        self.scale = opt.get("scale", 4)
+        with open(opt["meta_info_file"]) as f:
+            self.keys = [line.split()[0] for line in f if line.strip()]
+        self.neighbor_list = [i + (9 - self.num_frame) // 2
+                              for i in range(self.num_frame)]
+
+    def __len__(self):
+        return len(self.keys)
+
+    def __getitem__(self, index):
+        key = self.keys[index]
+        lqs = [_read_img(os.path.join(self.lq_root, key, f"im{i}.png"))
+               for i in self.neighbor_list]
+        gt = _read_img(os.path.join(self.gt_root, key, "im4.png"))
+        if self.opt.get("phase") == "train":
+            gt_size = self.opt.get("gt_size", 256)
+            gt, lqs = paired_random_crop(gt, lqs, gt_size, self.scale)
+            out = augment([gt] + lqs, self.opt.get("use_hflip", True),
+                          self.opt.get("use_rot", True))
+            gt, lqs = out[0], out[1:]
+        return {"lq": np.stack([v[..., ::-1] for v in lqs]).astype(np.float32),
+                "gt": gt[..., ::-1].astype(np.float32).copy(), "key": key}
+
+
+@DATASET_REGISTRY.register(name="RealESRGANDataset")
+class RealESRGANDataset:
+    """RealESRGAN on-the-fly degradation inputs (reference
+    realesrgan_dataset.py): GT + two random blur kernels + sinc kernel; the
+    degradation chain itself runs in the trainer on device."""
+
+    def __init__(self, opt: Dict):
+        from comfyui_keep_tpu.data.degradations import (
+            random_mixed_kernels, circular_lowpass_kernel)
+        self.opt = opt
+        self._rmk = random_mixed_kernels
+        self._sinc = circular_lowpass_kernel
+        self.gt_folder = opt["dataroot_gt"]
+        self.paths = [os.path.join(self.gt_folder, p)
+                      for p in scandir(self.gt_folder)]
+        self.kernel_range = [2 * v + 1 for v in range(3, 11)]
+
+    def __len__(self):
+        return len(self.paths)
+
+    def _kernel(self, opt_prefix):
+        o = self.opt
+        ks = random.choice(self.kernel_range)
+        if np.random.uniform() < o.get(f"sinc_prob{opt_prefix}", 0.1):
+            omega_c = np.random.uniform(np.pi / 3 if ks < 13 else np.pi / 5,
+                                        np.pi)
+            k = self._sinc(omega_c, ks)
+        else:
+            k = self._rmk(
+                o.get(f"kernel_list{opt_prefix}",
+                      ["iso", "aniso", "generalized_iso", "generalized_aniso",
+                       "plateau_iso", "plateau_aniso"]),
+                o.get(f"kernel_prob{opt_prefix}",
+                      [0.45, 0.25, 0.12, 0.03, 0.12, 0.03]),
+                ks, o.get(f"blur_sigma{opt_prefix}", [0.2, 3]),
+                o.get(f"blur_sigma{opt_prefix}", [0.2, 3]))
+        pad = (21 - ks) // 2
+        return np.pad(k, ((pad, pad), (pad, pad))).astype(np.float32)
+
+    def __getitem__(self, index):
+        gt = _read_img(self.paths[index])
+        gt = augment(gt, self.opt.get("use_hflip", True),
+                     self.opt.get("use_rot", True))
+        kernel1 = self._kernel("")
+        kernel2 = self._kernel("2")
+        if np.random.uniform() < self.opt.get("final_sinc_prob", 0.8):
+            ks = random.choice(self.kernel_range)
+            sinc = self._sinc(np.random.uniform(np.pi / 3, np.pi), ks,
+                              pad_to=21).astype(np.float32)
+        else:
+            sinc = np.zeros((21, 21), np.float32)
+            sinc[10, 10] = 1
+        return {"gt": gt[..., ::-1].astype(np.float32).copy(),
+                "kernel1": kernel1, "kernel2": kernel2, "sinc_kernel": sinc,
+                "gt_path": self.paths[index]}
+
+
+@DATASET_REGISTRY.register(name="RealESRGANPairedDataset")
+class RealESRGANPairedDataset(PairedImageDataset):
+    """Paired variant (reference realesrgan_paired_dataset.py) — same IO as
+    PairedImageDataset with meta-info/lmdb support inherited later."""

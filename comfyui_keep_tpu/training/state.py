@@ -78,6 +78,22 @@ def _fil(tree):
     return jax.tree.map(lambda x: np.asarray(x), tree)
 
 
+def save_orbax(path: str, tree):
+    """Sharded orbax checkpoint (SURVEY §5.4 TPU equivalent of .pth saves)."""
+    import orbax.checkpoint as ocp
+    ckptr = ocp.StandardCheckpointer()
+    ckptr.save(os.path.abspath(path), tree)
+    ckptr.wait_until_finished()
+
+
+def load_orbax(path: str, like=None):
+    import orbax.checkpoint as ocp
+    ckptr = ocp.StandardCheckpointer()
+    if like is not None:
+        return ckptr.restore(os.path.abspath(path), like)
+    return ckptr.restore(os.path.abspath(path))
+
+
 def load_network_npz(path: str, prefer_ema: bool = True):
     data = load_npz(path)
     if prefer_ema and "params_ema" in data:
