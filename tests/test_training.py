@@ -215,3 +215,16 @@ def test_freeze_mask():
     mask = freeze_mask(params, ("generator",))
     assert mask["generator"]["w"] == "frozen"
     assert mask["encoder"]["w"] == "trainable"
+
+
+def test_flow_loss():
+    import jax.numpy as jnp
+    from comfyui_keep_tpu.training.flow_losses import (flow_loss_func,
+                                                       end_point_error)
+    gt = jnp.ones((1, 8, 8, 2))
+    preds = [gt * 0.5, gt * 0.9]
+    loss, metrics = flow_loss_func(preds, gt)
+    assert float(loss) > 0
+    assert float(metrics["epe"]) == pytest.approx(
+        float(jnp.sqrt(jnp.sum((preds[-1] - gt) ** 2, -1)).mean()), rel=1e-5)
+    assert float(end_point_error(gt, gt)) == 0.0
