@@ -20,21 +20,27 @@ def main():
     import jax.numpy as jnp
     from comfyui_keep_tpu.models.keep import KEEP
 
+    from comfyui_keep_tpu.models.gmflow import GMFlow, flow_from_clip
     dtype = jnp.float32 if os.environ.get("KEEP_TPU_BENCH_DTYPE") == "f32" else jnp.bfloat16
     cfg = KEEP.config("KEEP")
-    params = KEEP.init(jax.random.PRNGKey(0), **cfg)
+    params = jax.jit(lambda k: KEEP.init(k, **cfg))(jax.random.PRNGKey(0))
     params = jax.tree.map(lambda a: a.astype(dtype), params)
+    gm = jax.jit(GMFlow.init)(jax.random.PRNGKey(2))
+    gm = jax.tree.map(lambda a: a.astype(dtype), gm)
     b, t = 1, 20
     x = (jax.random.normal(jax.random.PRNGKey(1), (b, t, 512, 512, 3)) * 0.3).astype(dtype)
 
-    fn = jax.jit(lambda p, x: KEEP.apply(p, x, remat=False, **cfg))
-    out = fn(params, x)
+    # the full reference forward: GMFlow over all frame pairs + KEEP
+    # (keep_arch.py:1008-1145 includes get_flow)
+    fn = jax.jit(lambda p, g, z: KEEP.apply(
+        p, z, flows=flow_from_clip(g, z), remat=False, **cfg))
+    out = fn(params, gm, x)
     np.asarray(out[0, -1, 0, 0, 0])  # force full execution (tunnel-safe)
 
     iters = 3
     start = time.perf_counter()
     for _ in range(iters):
-        out = fn(params, x)
+        out = fn(params, gm, x)
         np.asarray(out[0, -1, 0, 0, 0])
     elapsed = time.perf_counter() - start
 

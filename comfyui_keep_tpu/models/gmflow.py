@@ -117,9 +117,10 @@ def add_position(f0, f1, attn_splits: int, channels: int):
     if attn_splits > 1:
         f0s = split_windows(f0, attn_splits)
         f1s = split_windows(f1, attn_splits)
-        pos = sine_pos_embed(h // attn_splits, w // attn_splits, channels // 2)
+        pos = sine_pos_embed(h // attn_splits, w // attn_splits,
+                             channels // 2).astype(f0.dtype)
         return merge_windows(f0s + pos, attn_splits), merge_windows(f1s + pos, attn_splits)
-    pos = sine_pos_embed(h, w, channels // 2)
+    pos = sine_pos_embed(h, w, channels // 2).astype(f0.dtype)
     return f0 + pos, f1 + pos
 
 
@@ -251,7 +252,9 @@ def global_correlation_softmax(f0, f1):
     prob = jax.nn.softmax(corr, axis=-1)
     grid = coords_grid(h, w).reshape(h * w, 2)
     corresp = jnp.einsum("blm,mk->blk", prob, grid).reshape(b, h, w, 2)
-    return corresp - grid.reshape(h, w, 2), prob
+    # softmax expectation runs in f32; return in the feature dtype so the
+    # downstream convs stay bf16-consistent
+    return (corresp - grid.reshape(h, w, 2)).astype(f0.dtype), prob
 
 
 def local_correlation_softmax(f0, f1, radius: int):
@@ -276,7 +279,7 @@ def local_correlation_softmax(f0, f1, radius: int):
     prob = jax.nn.softmax(corr, axis=-1)
     corresp = jnp.einsum("blk,blkc->blc", prob, sample.reshape(b, h * w, k * k, 2))
     flow = corresp.reshape(b, h, w, 2) - coords
-    return flow, prob
+    return flow.astype(f0.dtype), prob
 
 
 # ---------------------------------------------------------------------------
@@ -309,7 +312,7 @@ def flow_attention(p, feature0, flow, local_window_radius: int = -1):
     v = flow.reshape(b, h * w, 2)
     scores = jnp.einsum("blc,bmc->blm", q, k,
                         preferred_element_type=jnp.float32) / math.sqrt(c)
-    prob = jax.nn.softmax(scores, axis=-1)
+    prob = jax.nn.softmax(scores, axis=-1).astype(v.dtype)
     return jnp.einsum("blm,bmc->blc", prob, v).reshape(b, h, w, 2)
 
 

@@ -82,3 +82,17 @@ def test_local_variants_parity(nets, rng):
                         attn_splits=1, corr_radius=2, prop_radius=1)
     np.testing.assert_allclose(np.asarray(ours), ref.numpy().transpose(0, 2, 3, 1),
                                atol=2e-3, rtol=1e-2)
+
+
+def test_gmflow_bf16_serving_dtype(nets, rng):
+    """bf16 params + inputs must flow through without dtype mismatches
+    (the serving path); regression for the f32 softmax-expectation leak."""
+    import jax
+    from comfyui_keep_tpu.models.gmflow import GMFlow, flow_from_clip
+    _, tree = nets
+    bf = jax.tree.map(lambda a: jnp.asarray(a, jnp.bfloat16), tree)
+    x = jnp.asarray(rng.random((1, 3, 64, 64, 3), dtype=np.float32) - 0.5,
+                    jnp.bfloat16)
+    flows = flow_from_clip(bf, x)
+    assert flows.dtype == jnp.bfloat16
+    assert np.isfinite(np.asarray(flows, np.float32)).all()
