@@ -243,7 +243,7 @@ class KEEP:
 
     @staticmethod
     def apply(params, x, flows=None, *, detach_16=True, need_upscale=False,
-              return_aux=False, remat=True, **cfg):
+              return_aux=False, remat=True, profile_mode=None, **cfg):
         """x: (B, T, H, W, 3) in [-1, 1] -> (B, T, 512, 512, 3).
 
         flows: (B, T-1, H, W, 2) forward flows (frame i -> i-1 displacement
@@ -297,15 +297,29 @@ class KEEP:
         def step(carry, inp):
             prev_out, prev_cfa = carry
             z_t, gain_t, flow_t, enc_t = inp
-            warped = flow_warp(jax.lax.stop_gradient(prev_out), flow_t)
-            z_prime = blocks_apply(params["hq_encoder"], enc_plan, warped,
-                                   remat=remat)
-            z_hat = (1.0 - gain_t) * z_t + gain_t * z_prime
-            quant, logits_t, _ = KEEP._tokens_to_code(params, cfg, z_hat)
+            # profile_mode isolates scan-step components for perf triage
+            if profile_mode == "no_hq":
+                z_hat = z_t
+            else:
+                warped = flow_warp(jax.lax.stop_gradient(prev_out), flow_t)
+                z_prime = blocks_apply(params["hq_encoder"], enc_plan, warped,
+                                       remat=remat)
+                z_hat = (1.0 - gain_t) * z_t + gain_t * z_prime
+            if profile_mode == "no_transformer":
+                quant, logits_t = z_hat, jnp.zeros(
+                    (z_hat.shape[0], cfg["latent_size"], cfg["codebook_size"]),
+                    z_hat.dtype)
+            else:
+                quant, logits_t, _ = KEEP._tokens_to_code(params, cfg, z_hat)
             if detach_16:
                 quant = jax.lax.stop_gradient(quant)
-            out, new_cfa, gen_feats = KEEP._decode_frame(
-                params, cfg, quant, enc_t, prev_cfa, first=False)
+            if profile_mode == "no_generator":
+                out = jnp.zeros_like(prev_out) + quant.mean()
+                new_cfa = prev_cfa
+                gen_feats = {f: jnp.zeros_like(v) for f, v in gen_feats0.items()}
+            else:
+                out, new_cfa, gen_feats = KEEP._decode_frame(
+                    params, cfg, quant, enc_t, prev_cfa, first=False)
             return (out, new_cfa), (out, logits_t, gen_feats)
 
         step_fn = jax.checkpoint(step) if remat else step
