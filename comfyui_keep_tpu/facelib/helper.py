@@ -293,3 +293,94 @@ class FaceRestoreHelper:
                 sel = np.any(b > 0.5, axis=2)
                 out[sel] = green
         return out
+
+
+# -----------------------------------------------------------------------------
+# Training-time aligner (face_restoration_helper.py:486-611)
+# -----------------------------------------------------------------------------
+
+DLIB_TEMPLATE_1024 = np.array([
+    [686.77227723, 488.62376238], [586.77227723, 493.59405941],
+    [337.91089109, 488.38613861], [437.95049505, 493.51485149],
+    [513.58415842, 678.5049505]], dtype=np.float64)
+TEMPLATE_3POINTS = np.array([[192, 240], [319, 240], [257, 371]],
+                            dtype=np.float64)
+
+
+class FaceAligner:
+    """Training-time pair/single face alignment given precomputed landmarks
+    (face_restoration_helper.py:486-611).
+
+    Unlike FaceRestoreHelper it performs no detection: datasets supply the
+    5-point (or 3-point) landmarks and this class only solves the LMEDS
+    similarity to the FFHQ template and warps. Images are RGB float [0,1];
+    the reference round-trips through BGR uint8 before warping, which
+    quantizes values — reproduced here for parity.
+
+    Quirk preserved: the reference passes ``img.shape[0:2]`` (h, w) as
+    cv2.warpAffine's ``dsize`` (which expects (w, h)); identical for the
+    square crops used in KEEP training.
+    """
+
+    def __init__(self, upscale_factor, face_size=512, crop_ratio=(1, 1),
+                 det_model="retinaface_resnet50", template_3points=False,
+                 pad_blur=False):
+        self.template_3points = template_3points
+        self.upscale_factor = int(upscale_factor)
+        self.crop_ratio = crop_ratio
+        if crop_ratio[0] < 1 or crop_ratio[1] < 1:
+            raise ValueError("crop ratio only supports >=1")
+        self.face_size = (int(face_size * crop_ratio[1]),
+                          int(face_size * crop_ratio[0]))
+        if det_model == "dlib":
+            self.face_template = DLIB_TEMPLATE_1024 / (1024 // face_size)
+        elif template_3points:
+            self.face_template = TEMPLATE_3POINTS.copy()
+        else:
+            self.face_template = FFHQ_TEMPLATE_512.copy()
+        self.face_template = self.face_template * (face_size / 512.0)
+        if crop_ratio[0] > 1:
+            self.face_template[:, 1] += face_size * (crop_ratio[0] - 1) / 2
+        if crop_ratio[1] > 1:
+            self.face_template[:, 0] += face_size * (crop_ratio[1] - 1) / 2
+        self.pad_blur = pad_blur
+        if pad_blur:
+            self.template_3points = False
+
+    @staticmethod
+    def _border(border_mode):
+        return {"constant": cv2.BORDER_CONSTANT,
+                "reflect101": cv2.BORDER_REFLECT101,
+                "reflect": cv2.BORDER_REFLECT}[border_mode]
+
+    def align_single_face(self, img, landmarks, border_mode="constant"):
+        """img: RGB float [0,1] -> aligned RGB float [0,1]."""
+        u8 = (img[:, :, ::-1] * 255).round().astype(np.uint8)
+        m = estimate_affine(np.asarray(landmarks, np.float64),
+                            self.face_template)
+        u8 = cv2.warpAffine(u8, m, u8.shape[0:2],
+                            borderMode=self._border(border_mode),
+                            borderValue=(135, 133, 132))
+        return u8[:, :, ::-1] / 255.0
+
+    def align_warp_face(self, img_lq, img_gt, landmarks,
+                        border_mode="constant"):
+        """BGR uint8 pair -> warped pair. GT landmarks given at GT scale;
+        the LQ warp re-solves at landmarks/scale (:585-601)."""
+        scale = img_gt.shape[0] / img_lq.shape[0]
+        border = self._border(border_mode)
+        lm = np.asarray(landmarks, np.float64)
+        m_gt = estimate_affine(lm, self.face_template)
+        img_gt = cv2.warpAffine(img_gt, m_gt, img_gt.shape[0:2],
+                                borderMode=border, borderValue=(135, 133, 132))
+        m_lq = estimate_affine(lm / scale, self.face_template / scale)
+        img_lq = cv2.warpAffine(img_lq, m_lq, img_lq.shape[0:2],
+                                borderMode=border, borderValue=(135, 133, 132))
+        return img_lq, img_gt
+
+    def align_pair_face(self, img_lq, img_gt, landmarks):
+        """RGB float [0,1] pair -> aligned RGB float [0,1] pair (:549-558)."""
+        lq = (img_lq[:, :, ::-1] * 255).round().astype(np.uint8)
+        gt = (img_gt[:, :, ::-1] * 255).round().astype(np.uint8)
+        lq, gt = self.align_warp_face(lq, gt, landmarks)
+        return lq[:, :, ::-1] / 255.0, gt[:, :, ::-1] / 255.0
