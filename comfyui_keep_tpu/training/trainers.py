@@ -555,6 +555,56 @@ MODEL_REGISTRY.register(VideoRecurrentTrainer, name="VideoRecurrentGANModel")
 MODEL_REGISTRY.register(VideoRecurrentTrainer, name="EDVRModel")
 
 
+@MODEL_REGISTRY.register(name="GMFlowModel")
+class GMFlowTrainer(BaseTrainer):
+    """GMFlow optical-flow trainer (reference archs/gmflow/main.py:180-420):
+    AdamW(lr 4e-4, wd 1e-4) + one-cycle cosine LR (pct_start 0.05) + global
+    grad-norm clip 1.0 + sequence-weighted EPE loss (gamma 0.9). Batches:
+    img1/img2 (B,H,W,3) in [0,255], flow (B,H,W,2), valid (B,H,W)."""
+
+    def __init__(self, opt, mesh=None):
+        super().__init__(opt, mesh=mesh)
+        t = opt.get("train", {})
+        self.lr = t.get("lr", 4e-4)
+        self.weight_decay = t.get("weight_decay", 1e-4)
+        self.grad_clip = t.get("grad_clip", 1.0)
+        self.gamma = t.get("gamma", 0.9)
+        self.num_steps = t.get("num_steps", 100000)
+        g = opt.get("network_g", {})
+        self.attn_splits = g.get("attn_splits", 2)
+        self.corr_radius = g.get("corr_radius", -1)
+        self.prop_radius = g.get("prop_radius", -1)
+
+    def init_params(self, key):
+        from comfyui_keep_tpu.models.gmflow import GMFlow
+        return GMFlow.init(key)
+
+    def make_optimizer(self, params):
+        import optax
+        # OneCycleLR(anneal_strategy='cos', pct_start=0.05) equivalent
+        # (main.py:353-357)
+        sched = optax.cosine_onecycle_schedule(
+            transition_steps=self.num_steps + 10, peak_value=self.lr,
+            pct_start=0.05)
+        return optax.chain(
+            optax.clip_by_global_norm(self.grad_clip),
+            optax.adamw(sched, weight_decay=self.weight_decay))
+
+    def loss_fn(self, params, batch, rng):
+        from comfyui_keep_tpu.models.gmflow import GMFlow
+        from comfyui_keep_tpu.training.flow_losses import flow_loss_func
+        pred = GMFlow.apply(params, batch["img1"], batch["img2"],
+                            attn_splits=self.attn_splits,
+                            corr_radius=self.corr_radius,
+                            prop_radius=self.prop_radius)
+        loss, metrics = flow_loss_func([pred], batch["flow"],
+                                       valid=batch.get("valid"),
+                                       gamma=self.gamma)
+        metrics = dict(metrics)
+        metrics["l_flow"] = loss
+        return loss, metrics
+
+
 def build_model(opt: Dict, **kw):
     """Reference models/__init__.py:18-29."""
     return MODEL_REGISTRY.get(opt["model_type"])(opt, **kw)
