@@ -3,22 +3,39 @@ reference archs: GroupNorm(32, eps=1e-6) in vqgan_arch.py:16-18, LayerNorm in
 keep_arch.py transformer blocks, InstanceNorm2d in gmflow backbone,
 BatchNorm2d (inference) in retinaface/parsenet.
 """
+import jax
 import jax.numpy as jnp
 
 
 def group_norm(x, params, num_groups: int = 32, eps: float = 1e-6):
-    """x: (..., H, W, C). params: {'scale': (C,), 'bias': (C,)} or None."""
+    """x: (..., H, W, C). params: {'scale': (C,), 'bias': (C,)} or None.
+
+    TPU-shaped: per-channel f32 sums (XLA fuses the bf16->f32 convert into
+    the reduction, one pass over x), per-group stats on tiny (..., G)
+    tensors, then one fused elementwise normalize pass. Avoids the naive
+    (..., HW, G, C/G) reshape, which materializes a re-laid-out f32 copy of
+    the activation (134 MB per GN at 512x512x128) on TPU."""
     c = x.shape[-1]
-    spatial = x.shape[-3:-1]
-    lead = x.shape[:-3]
-    xg = x.reshape(lead + (-1, num_groups, c // num_groups))
-    mean = xg.mean(axis=(-3, -1), keepdims=True)
-    var = xg.var(axis=(-3, -1), keepdims=True)
-    xg = (xg - mean) * jnp.reciprocal(jnp.sqrt(var + eps))
-    x = xg.reshape(lead + spatial + (c,))
+    k = c // num_groups
+    n = x.shape[-3] * x.shape[-2] * k
+    xf = x.astype(jnp.float32)
+    s1 = jnp.sum(xf, axis=(-3, -2))                 # (..., C)
+    s2 = jnp.sum(jnp.square(xf), axis=(-3, -2))     # (..., C)
+    g1 = s1.reshape(s1.shape[:-1] + (num_groups, k)).sum(-1)
+    g2 = s2.reshape(s2.shape[:-1] + (num_groups, k)).sum(-1)
+    mean = g1 / n
+    var = g2 / n - mean * mean
+    inv = jax.lax.rsqrt(var + eps)
+    # fold the group stats (and affine) into per-channel scale/shift
+    scale = jnp.repeat(inv, k, axis=-1)
+    shift = jnp.repeat(-mean * inv, k, axis=-1)
     if params is not None:
-        x = x * params["scale"] + params["bias"]
-    return x
+        gamma = params["scale"].astype(jnp.float32)
+        scale = scale * gamma
+        shift = shift * gamma + params["bias"].astype(jnp.float32)
+    scale = scale[..., None, None, :]
+    shift = shift[..., None, None, :]
+    return (xf * scale + shift).astype(x.dtype)
 
 
 def layer_norm(x, params, eps: float = 1e-5):

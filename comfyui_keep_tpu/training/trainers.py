@@ -535,13 +535,31 @@ class VideoRecurrentTrainer(BaseTrainer):
         return optax.multi_transform(
             {"trainable": tx_main, "frozen": tx_flow}, mask)
 
+    def train_step(self, state, batch, rng=None):
+        if self.fix_flow_iter:
+            # thread the iteration in as a traced scalar so the freeze can
+            # switch off at fix_flow_iter without recompiling
+            batch = dict(batch)
+            batch["_iter"] = np.asarray(state.iter + 1, np.int32)
+        return super().train_step(state, batch, rng)
+
     def loss_fn(self, params, batch, rng):
         if self.fix_flow_iter:
             import jax
-            # warmup freeze (video_recurrent_model.py setup): stop flow grads
+            import jax.numpy as jnp
+            batch = dict(batch)
+            it = batch.pop("_iter")
+            # warmup freeze (video_recurrent_model.py:105-115): flow net (and
+            # EDVR feature extractor) grads are zero until current_iter
+            # reaches fix_flow_iter, then everything trains. Values are
+            # unchanged either way; only the gradient path is gated.
+            live = (it >= self.fix_flow_iter).astype(jnp.float32)
             params = dict(params)
-            params[self.flow_prefix] = jax.lax.stop_gradient(
-                params[self.flow_prefix])
+            for prefix in {self.flow_prefix, "edvr"} & set(params):
+                params[prefix] = jax.tree.map(
+                    lambda a: live.astype(a.dtype) * a +
+                    (1 - live).astype(a.dtype) * jax.lax.stop_gradient(a),
+                    params[prefix])
         out = self.arch.apply(params, batch["lq"], **{
             k: v for k, v in self.net_cfg.items()
             if k in ("num_feat", "mid_channels", "deformable_groups")})

@@ -140,3 +140,32 @@ def get_env_info():
     return (f"\n\tcomfyui_keep_tpu: {__version__}"
             f"\n\tPython: {sys.version.split()[0]}"
             f"\n\tJAX: {jv}\n\tDevices: {devs}")
+
+
+@master_only
+def init_tb_logger(log_dir):
+    """TensorBoard writer (reference utils/logger.py:118-122). Uses torch's
+    SummaryWriter when available, else tensorboardX, else raises."""
+    try:
+        from torch.utils.tensorboard import SummaryWriter
+    except Exception:  # pragma: no cover
+        from tensorboardX import SummaryWriter
+    return SummaryWriter(log_dir=log_dir)
+
+
+@master_only
+def init_wandb_logger(opt):
+    """wandb sync of the tb log (reference utils/logger.py:125-146); no-op
+    import guard since wandb is optional in this image."""
+    import wandb  # noqa: F401 — raises cleanly if unavailable
+    logger = get_root_logger()
+    project = opt["logger"]["wandb"]["project"]
+    resume_id = opt["logger"]["wandb"].get("resume_id")
+    if resume_id:
+        wandb_id, resume = resume_id, "allow"
+        logger.warning(f"Resume wandb logger with id={wandb_id}.")
+    else:
+        wandb_id, resume = wandb.util.generate_id(), "never"
+    wandb.init(id=wandb_id, resume=resume, name=opt["name"],
+               config=opt, project=project, sync_tensorboard=True)
+    logger.info(f"Use wandb logger with id={wandb_id}; project={project}.")

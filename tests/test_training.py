@@ -1,6 +1,7 @@
 """Training framework tests: losses vs torch, schedulers vs reference,
 KEEP/SR train steps on tiny configs."""
 import numpy as np
+import chex
 import pytest
 import jax
 import jax.numpy as jnp
@@ -228,3 +229,28 @@ def test_flow_loss():
     assert float(metrics["epe"]) == pytest.approx(
         float(jnp.sqrt(jnp.sum((preds[-1] - gt) ** 2, -1)).mean()), rel=1e-5)
     assert float(end_point_error(gt, gt)) == 0.0
+
+
+class TestVideoRecurrentFixFlow:
+    def test_iteration_conditional_flow_freeze(self, rng):
+        from comfyui_keep_tpu.training.trainers import VideoRecurrentTrainer
+        opt = {
+            "model_type": "VideoRecurrentModel",
+            "network_g": {"type": "BasicVSR", "num_feat": 8, "num_block": 1},
+            "train": {"pixel_opt": {"type": "L1Loss"},
+                      "optim_g": {"type": "Adam", "lr": 1e-2},
+                      "fix_flow": 2, "flow_lr_mul": 0.125},
+        }
+        tr = VideoRecurrentTrainer(opt)
+        state = tr.make_state(jax.random.PRNGKey(0))
+        batch = {"lq": jnp.asarray(rng.random((1, 2, 64, 64, 3), np.float32)),
+                 "gt": jnp.asarray(rng.random((1, 2, 256, 256, 3), np.float32))}
+        p0 = jax.tree.map(np.asarray, state.params["spynet"])
+        state, _ = tr.train_step(state, batch)  # current_iter == 1 < fix_flow
+        p1 = jax.tree.map(np.asarray, state.params["spynet"])
+        chex.assert_trees_all_equal(p0, p1)
+        state, _ = tr.train_step(state, batch)  # current_iter == 2 -> unfrozen
+        p2 = jax.tree.map(np.asarray, state.params["spynet"])
+        moved = jax.tree.leaves(jax.tree.map(
+            lambda a, b: not np.allclose(a, b), p1, p2))
+        assert any(moved)
