@@ -243,12 +243,21 @@ class KEEP:
 
     @staticmethod
     def apply(params, x, flows=None, *, detach_16=True, need_upscale=False,
-              return_aux=False, remat=True, profile_mode=None, **cfg):
+              return_aux=False, remat=True, profile_mode=None, carry=None,
+              return_carry=False, **cfg):
         """x: (B, T, H, W, 3) in [-1, 1] -> (B, T, 512, 512, 3).
 
         flows: (B, T-1, H, W, 2) forward flows (frame i -> i-1 displacement
         as produced by GMFlow(x_{i}, x_{i-1}), reference keep_arch.py:976-986).
         Zeros if None (static-face approximation / single image path).
+
+        carry / return_carry (TPU-native extension, not in the reference —
+        keep_processor.py:263-270 resets state every max_clip_length chunk):
+        carry = (prev_out (B,H,W,3), prev_cfa {res: (B,s,s,c)}) from a prior
+        chunk's return_carry=True call. With carry, ALL T frames run through
+        the recurrence (flows must then be (B, T, H, W, 2), flow[:, 0] mapping
+        frame 0 back to the carried frame) — streaming restoration of clips
+        longer than one compiled program.
         """
         cfg = {**DEFAULT_CFG, **cfg}
         b, t = x.shape[:2]
@@ -257,7 +266,8 @@ class KEEP:
             x = resize_bilinear(x, hw)
         h, w = x.shape[2], x.shape[3]
         if flows is None:
-            flows = jnp.zeros((b, t - 1, h, w, 2), x.dtype)
+            n_flows = t if carry is not None else t - 1
+            flows = jnp.zeros((b, n_flows, h, w, 2), x.dtype)
         flows = jax.lax.stop_gradient(flows)
 
         enc_plan, _ = _plans(cfg)
@@ -279,19 +289,28 @@ class KEEP:
         gains = kalman_calc_gain(params["kalman_filter"], z_codes,
                                  n_head=cfg["n_head"])
 
-        # --- frame 0 (no propagation) ---------------------------------------
-        quant0, logits0, _ = KEEP._tokens_to_code(params, cfg, z_codes[:, 0])
-        if detach_16:
-            quant0 = jax.lax.stop_gradient(quant0)
-        out0, cfa_feats0, gen_feats0 = KEEP._decode_frame(
-            params, cfg, quant0, {f: enc_feats[f][:, 0] for f in cfg["cft_list"]},
-            {}, first=True)
+        if carry is not None:
+            # streaming mode: every frame propagates from the carried state
+            if profile_mode is not None:
+                raise ValueError("profile_mode is incompatible with carry")
+            init, start, gen_feats0 = carry, 0, None
+        else:
+            # --- frame 0 (no propagation) -----------------------------------
+            quant0, logits0, _ = KEEP._tokens_to_code(params, cfg, z_codes[:, 0])
+            if detach_16:
+                quant0 = jax.lax.stop_gradient(quant0)
+            out0, cfa_feats0, gen_feats0 = KEEP._decode_frame(
+                params, cfg, quant0,
+                {f: enc_feats[f][:, 0] for f in cfg["cft_list"]}, {}, first=True)
 
-        if t == 1:
-            outs = out0[:, None]
-            logits = logits0[:, None]
-            gen_feat_dict = {f: v[:, None] for f, v in gen_feats0.items()}
-            return KEEP._pack(outs, logits, lq_feat, gen_feat_dict, return_aux)
+            if t == 1:
+                outs = out0[:, None]
+                logits = logits0[:, None]
+                gen_feat_dict = {f: v[:, None] for f, v in gen_feats0.items()}
+                res = KEEP._pack(outs, logits, lq_feat, gen_feat_dict,
+                                 return_aux)
+                return (res, (out0, cfa_feats0)) if return_carry else res
+            init, start = (out0, cfa_feats0), 1
 
         # --- frames 1..T-1 as lax.scan --------------------------------------
         def step(carry, inp):
@@ -325,22 +344,32 @@ class KEEP:
         step_fn = jax.checkpoint(step) if remat else step
 
         xs = (
-            jnp.moveaxis(z_codes[:, 1:], 1, 0),
-            jnp.moveaxis(gains[:, 1:], 1, 0),
+            jnp.moveaxis(z_codes[:, start:], 1, 0),
+            jnp.moveaxis(gains[:, start:], 1, 0),
             jnp.moveaxis(flows, 1, 0),
-            {f: jnp.moveaxis(enc_feats[f][:, 1:], 1, 0) for f in cfg["cft_list"]},
+            {f: jnp.moveaxis(enc_feats[f][:, start:], 1, 0)
+             for f in cfg["cft_list"]},
         )
-        (_, _), (outs_rest, logits_rest, gen_feats_rest) = jax.lax.scan(
-            step_fn, (out0, cfa_feats0), xs)
+        (fin_out, fin_cfa), (outs_rest, logits_rest, gen_feats_rest) = \
+            jax.lax.scan(step_fn, init, xs)
 
-        outs = jnp.concatenate([out0[:, None], jnp.moveaxis(outs_rest, 0, 1)], axis=1)
-        logits = jnp.concatenate([logits0[:, None], jnp.moveaxis(logits_rest, 0, 1)],
-                                 axis=1)
-        gen_feat_dict = {
-            f: jnp.concatenate([gen_feats0[f][:, None],
-                                jnp.moveaxis(gen_feats_rest[f], 0, 1)], axis=1)
-            for f in gen_feats0}
-        return KEEP._pack(outs, logits, lq_feat, gen_feat_dict, return_aux)
+        if carry is not None:
+            outs = jnp.moveaxis(outs_rest, 0, 1)
+            logits = jnp.moveaxis(logits_rest, 0, 1)
+            gen_feat_dict = {f: jnp.moveaxis(v, 0, 1)
+                             for f, v in gen_feats_rest.items()}
+        else:
+            outs = jnp.concatenate(
+                [out0[:, None], jnp.moveaxis(outs_rest, 0, 1)], axis=1)
+            logits = jnp.concatenate(
+                [logits0[:, None], jnp.moveaxis(logits_rest, 0, 1)], axis=1)
+            gen_feat_dict = {
+                f: jnp.concatenate([gen_feats0[f][:, None],
+                                    jnp.moveaxis(gen_feats_rest[f], 0, 1)],
+                                   axis=1)
+                for f in gen_feats0}
+        res = KEEP._pack(outs, logits, lq_feat, gen_feat_dict, return_aux)
+        return (res, (fin_out, fin_cfa)) if return_carry else res
 
     @staticmethod
     def _pack(outs, logits, lq_feat, gen_feat_dict, return_aux):

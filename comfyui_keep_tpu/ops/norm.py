@@ -49,13 +49,23 @@ def layer_norm(x, params, eps: float = 1e-5):
 
 
 def instance_norm(x, params=None, eps: float = 1e-5):
-    """Per-(N,C) spatial normalization, NHWC. torch InstanceNorm2d(affine=False) default."""
-    mean = x.mean(axis=(-3, -2), keepdims=True)
-    var = x.var(axis=(-3, -2), keepdims=True)
-    x = (x - mean) * jnp.reciprocal(jnp.sqrt(var + eps))
+    """Per-(N,C) spatial normalization, NHWC. torch InstanceNorm2d(affine=False)
+    default. f32-accumulated stats + one fused normalize pass (same TPU
+    shaping as group_norm above)."""
+    xf = x.astype(jnp.float32)
+    n = x.shape[-3] * x.shape[-2]
+    s1 = jnp.sum(xf, axis=(-3, -2))              # (..., C)
+    s2 = jnp.sum(jnp.square(xf), axis=(-3, -2))  # (..., C)
+    mean = s1 / n
+    var = s2 / n - mean * mean
+    inv = jax.lax.rsqrt(var + eps)
+    scale, shift = inv, -mean * inv
     if params is not None:
-        x = x * params["scale"] + params["bias"]
-    return x
+        gamma = params["scale"].astype(jnp.float32)
+        scale = scale * gamma
+        shift = shift * gamma + params["bias"].astype(jnp.float32)
+    return (xf * scale[..., None, None, :] +
+            shift[..., None, None, :]).astype(x.dtype)
 
 
 def batch_norm(x, params, eps: float = 1e-5):

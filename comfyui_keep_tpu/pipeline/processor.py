@@ -71,25 +71,74 @@ class KEEPFaceProcessor:
         self._fns[t] = jitted
         return jitted
 
+    def _restore_carry_fn(self, t: int, first: bool):
+        """Jitted program for carried-state streaming: first-chunk variant
+        returns (out, carry); continuation takes (prev_last_frame, carry) and
+        computes the boundary flow inside the program."""
+        key = ("carry", t, first)
+        if key in self._fns:
+            return self._fns[key]
+        import jax
+        import jax.numpy as jnp
+        from comfyui_keep_tpu.models.keep import KEEP
+        from comfyui_keep_tpu.models.gmflow import flow_from_clip
+        cfg = self.keep_cfg
+        gm = self.gmflow_params
+
+        if first:
+            def fn(keep_params, gm_params, x):
+                flows = flow_from_clip(gm_params, x) if gm is not None else None
+                return KEEP.apply(keep_params, x, flows=flows, remat=False,
+                                  return_carry=True, **cfg)
+        else:
+            def fn(keep_params, gm_params, x, prev_last, carry):
+                flows = None
+                if gm is not None:
+                    ext = jnp.concatenate([prev_last[:, None], x], axis=1)
+                    flows = flow_from_clip(gm_params, ext)  # (B, t, H, W, 2)
+                return KEEP.apply(keep_params, x, flows=flows, remat=False,
+                                  carry=carry, return_carry=True, **cfg)
+        jitted = jax.jit(fn)
+        self._fns[key] = jitted
+        return jitted
+
     def restore_face_stream(self, faces_bgr_u8: List[np.ndarray],
-                            max_clip_length: int = 20) -> List[np.ndarray]:
-        """Restore a flat stream of aligned 512x512 faces, chunked with
-        per-chunk state reset (parity with keep_processor.py:256-275)."""
+                            max_clip_length: int = 20,
+                            carry_chunks: bool = False) -> List[np.ndarray]:
+        """Restore a flat stream of aligned 512x512 faces, chunked.
+
+        carry_chunks=False: per-chunk state reset (parity with
+        keep_processor.py:256-275). carry_chunks=True (TPU-native
+        extension): the Kalman state and CFA features stream across chunk
+        boundaries, removing the temporal discontinuity every
+        max_clip_length frames."""
         import jax.numpy as jnp
         n = len(faces_bgr_u8)
         if n == 0:
             return []
         x_all = np.stack([bgr_u8_to_rgb_pm1(f) for f in faces_bgr_u8])
         outs: List[np.ndarray] = []
+        carry = None
         for start in range(0, n, max_clip_length):
             clip = x_all[start:start + max_clip_length]
-            dup = clip.shape[0] == 1
-            if dup:
+            dup = not carry_chunks and clip.shape[0] == 1
+            if dup:  # 1-frame duplication hack (keep_processor.py:266-268)
                 clip = np.concatenate([clip, clip], axis=0)
             t = clip.shape[0]
-            fn = self._restore_fn(t)
-            out = fn(self.keep_params, self.gmflow_params,
-                     jnp.asarray(clip[None], self.dtype))
+            xc = jnp.asarray(clip[None], self.dtype)
+            if carry_chunks:
+                if start == 0:
+                    out, carry = self._restore_carry_fn(t, True)(
+                        self.keep_params, self.gmflow_params, xc)
+                else:
+                    prev_last = jnp.asarray(
+                        x_all[start - 1][None], self.dtype)
+                    out, carry = self._restore_carry_fn(t, False)(
+                        self.keep_params, self.gmflow_params, xc,
+                        prev_last, carry)
+            else:
+                out = self._restore_fn(t)(self.keep_params,
+                                          self.gmflow_params, xc)
             out = np.asarray(out[0], np.float32)
             if dup:
                 out = out[:1]

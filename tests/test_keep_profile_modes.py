@@ -39,3 +39,34 @@ def test_isolation_modes_run(net, mode):
     assert np.isfinite(out).all()
     # the knob must actually remove work (outputs differ from full path)
     assert not np.array_equal(out, base)
+
+
+class TestCarriedState:
+    def test_carry_roundtrip(self, net):
+        p, x, base = net
+        res, carry = KEEP.apply(p, x, return_carry=True, **TINY)
+        np.testing.assert_array_equal(np.asarray(res), base)
+        out_c, cfa_c = carry
+        assert out_c.shape == (1, 64, 64, 3)
+        assert set(cfa_c) == set(TINY["cfa_list"])
+        # continuation chunk: every frame propagates from the carry
+        x2 = jax.random.normal(jax.random.PRNGKey(5), (1, 2, 64, 64, 3)) * 0.3
+        res2, carry2 = KEEP.apply(p, x2, carry=carry, return_carry=True, **TINY)
+        assert res2.shape == (1, 2, 64, 64, 3)
+        assert np.isfinite(np.asarray(res2)).all()
+        # carried output differs from a cold-start restore of the same chunk
+        cold = KEEP.apply(p, x2, **TINY)
+        assert not np.allclose(np.asarray(res2), np.asarray(cold))
+
+    def test_single_frame_carry_chunk(self, net):
+        p, x, _ = net
+        _, carry = KEEP.apply(p, x, return_carry=True, **TINY)
+        x1 = jax.random.normal(jax.random.PRNGKey(7), (1, 1, 64, 64, 3)) * 0.3
+        res, _ = KEEP.apply(p, x1, carry=carry, return_carry=True, **TINY)
+        assert res.shape == (1, 1, 64, 64, 3)
+
+    def test_carry_incompatible_with_profile_mode(self, net):
+        p, x, _ = net
+        _, carry = KEEP.apply(p, x, return_carry=True, **TINY)
+        with pytest.raises(ValueError):
+            KEEP.apply(p, x, carry=carry, profile_mode="no_hq", **TINY)

@@ -131,3 +131,22 @@ class TestHelperGeometry:
         m = np.array([[1.2, 0.3, 10.0], [-0.3, 1.2, -5.0]])
         np.testing.assert_allclose(invert_affine(m),
                                    cv2.invertAffineTransform(m), atol=1e-8)
+
+
+def test_carried_chunks_stream(pack, rng):
+    """carry_chunks=True: later chunks see the carried Kalman/CFA state, so
+    chunk-2 output differs from a cold restart but the first chunk matches."""
+    proc = pack.processor()
+    faces = [(rng.random((64, 64, 3)) * 255).astype(np.uint8) for _ in range(5)]
+    carried = proc.restore_face_stream(faces, max_clip_length=3,
+                                       carry_chunks=True)
+    reset = proc.restore_face_stream(faces, max_clip_length=3)
+    assert len(carried) == 5
+    for a, b in zip(carried[:3], reset[:3]):
+        np.testing.assert_array_equal(a, b)
+    assert any(not np.array_equal(a, b)
+               for a, b in zip(carried[3:], reset[3:]))
+    # 1-frame tail chunk needs no duplication hack in carried mode
+    tail = proc.restore_face_stream(faces[:4], max_clip_length=3,
+                                    carry_chunks=True)
+    assert len(tail) == 4
