@@ -244,7 +244,7 @@ class KEEP:
     @staticmethod
     def apply(params, x, flows=None, *, detach_16=True, need_upscale=False,
               return_aux=False, remat=True, profile_mode=None, carry=None,
-              return_carry=False, **cfg):
+              return_carry=False, scan_unroll: int = 1, **cfg):
         """x: (B, T, H, W, 3) in [-1, 1] -> (B, T, 512, 512, 3).
 
         flows: (B, T-1, H, W, 2) forward flows (frame i -> i-1 displacement
@@ -351,7 +351,7 @@ class KEEP:
              for f in cfg["cft_list"]},
         )
         (fin_out, fin_cfa), (outs_rest, logits_rest, gen_feats_rest) = \
-            jax.lax.scan(step_fn, init, xs)
+            jax.lax.scan(step_fn, init, xs, unroll=scan_unroll)
 
         if carry is not None:
             outs = jnp.moveaxis(outs_rest, 0, 1)
