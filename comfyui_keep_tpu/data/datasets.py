@@ -388,3 +388,73 @@ class RealESRGANDataset:
 class RealESRGANPairedDataset(PairedImageDataset):
     """Paired variant (reference realesrgan_paired_dataset.py) — same IO as
     PairedImageDataset with meta-info/lmdb support inherited later."""
+
+
+# reference registry name is the class name (vfhq_real_degradation2_dataset.py
+# :22/:149 register 'SingleVFHQDataset'/'VFHQDataset') — keep both spellings
+DATASET_REGISTRY.register(VFHQRealDegradationDataset, name="VFHQDataset")
+
+
+@DATASET_REGISTRY.register(name="SingleVFHQDataset")
+class SingleVFHQDataset:
+    """Single-frame VFHQ GT loader (vfhq_real_degradation2_dataset.py:23-147):
+    keys expanded from the global meta-info file, optional landmark-based
+    FFHQ alignment via FaceAligner, hflip/rot augment, optional +-0.5
+    normalize. Returns NHWC float arrays {'in', 'gt', 'key'} ('in' == 'gt';
+    degradation happens in the model/pipeline for this blind setting)."""
+
+    def __init__(self, opt: Dict):
+        self.opt = opt
+        self.gt_root = opt["dataroot_gt"]
+        self.normalize = opt.get("normalize", False)
+        self.need_align = opt.get("need_align", False)
+        self.keys: List[str] = []
+        with open(opt["global_meta_info_file"]) as fin:
+            for line in fin:
+                line = line.strip()
+                if not line:
+                    continue
+                clip_path = "/".join(line.split("/")[:-1])
+                clip_length = int(line.split("/")[-1])
+                self.keys.extend(
+                    f"{clip_path}/{clip_length:08d}/{i:08d}"
+                    for i in range(clip_length))
+        self.io_backend_opt = dict(opt.get("io_backend", {"type": "disk"}))
+        self.file_client = None
+        if self.need_align:
+            from comfyui_keep_tpu.facelib.helper import FaceAligner
+            self.dataroot_meta_info = opt["dataroot_meta_info"]
+            self.face_aligner = FaceAligner(upscale_factor=1, face_size=512,
+                                            crop_ratio=(1, 1))
+
+    def __len__(self):
+        return len(self.keys)
+
+    def __getitem__(self, index):
+        if self.file_client is None:
+            opt = dict(self.io_backend_opt)
+            self.file_client = FileClient(opt.pop("type"), **opt)
+        key = self.keys[index]
+        clip_name = key.split("/")[-3]
+        frame_idx = int(key.split("/")[-1])
+        frame_dir = os.path.join(self.gt_root, clip_name)
+        paths = sorted(os.listdir(frame_dir))
+        img_gt = imfrombytes(
+            self.file_client.get(os.path.join(frame_dir, paths[frame_idx]),
+                                 "gt"), float32=True)
+        if self.need_align:
+            info_path = os.path.join(self.dataroot_meta_info,
+                                     f"{clip_name}.txt")
+            clip_info = [ln.strip() for ln in open(info_path, encoding="utf-8")
+                         if ln.strip().startswith("0")]
+            lm = np.array([float(v) for v in
+                           clip_info[frame_idx].split(" ")[1:]]).reshape(5, 2)
+            img_gt = self.face_aligner.align_single_face(img_gt, lm)
+        img_gt = augment(img_gt, self.opt.get("use_flip", True),
+                         self.opt.get("use_rot", True))
+        img_in = img_gt
+        if self.normalize:
+            img_in = (img_in - 0.5) / 0.5
+            img_gt = (img_gt - 0.5) / 0.5
+        return {"in": np.ascontiguousarray(img_in, np.float32),
+                "gt": np.ascontiguousarray(img_gt, np.float32), "key": key}

@@ -96,3 +96,39 @@ def train_pipeline(opt: Dict, max_iters: Optional[int] = None, use_mesh=True,
         epoch += 1
         state.epoch = epoch
     return state, logs
+
+
+def test_pipeline(opt: Dict, trainer_kwargs: Optional[Dict] = None):
+    """Test pipeline (reference wm_basicsr/test.py:12-41): build the model,
+    load weights from path.pretrain_network_g, run validation on every
+    `test_*`/`val*` dataset and return {dataset_name: metrics}."""
+    import jax
+    from comfyui_keep_tpu.training.validation import (validate_images,
+                                                      validate_videos)
+    logger = get_root_logger()
+    set_random_seed(opt.get("manual_seed", 0))
+    trainer = build_model(opt, **(trainer_kwargs or {}))
+    params = trainer.init_params(jax.random.PRNGKey(0))
+    ckpt = opt.get("path", {}).get("pretrain_network_g")
+    if ckpt:
+        from comfyui_keep_tpu.training.state import load_network_npz
+        params = load_network_npz(ckpt)
+        logger.info(f"loaded network weights from {ckpt}")
+
+    results = {}
+    metrics_opt = opt.get("val", {}).get("metrics", {})
+    for phase, dataset_opt in sorted(opt["datasets"].items()):
+        if not (phase.startswith("test") or phase.startswith("val")):
+            continue
+        ds = build_dataset(dataset_opt)
+        loader = DataLoader(ds, batch_size=1, drop_last=False)
+        name = dataset_opt.get("name", phase)
+        logger.info(f"testing {name} ({len(ds)} items)")
+        fwd = lambda lq: trainer.forward(params, lq)
+        if dataset_opt.get("type", "").startswith(("Video", "VFHQ", "REDS",
+                                                   "Vimeo")):
+            results[name] = validate_videos(fwd, loader, metrics_opt)
+        else:
+            results[name] = validate_images(fwd, loader, metrics_opt)
+        logger.info(f"{name}: {results[name]}")
+    return results

@@ -176,3 +176,50 @@ def test_train_pipeline_end_to_end(vfhq_dir, tmp_path):
     assert state.iter == 2
     assert np.isfinite(logs["l_total"])
     assert os.path.exists(tmp_path / "exp/models/net_g_2.npz")
+
+
+def test_single_vfhq_dataset(vfhq_dir):
+    meta = vfhq_dir / "global_meta.txt"
+    meta.write_text("clip_000/12\n")
+    ds = build_dataset({
+        "type": "SingleVFHQDataset",
+        "dataroot_gt": str(vfhq_dir / "gt"),
+        "global_meta_info_file": str(meta),
+        "use_flip": False, "use_rot": False, "normalize": True,
+    })
+    assert len(ds) == 12
+    item = ds[3]
+    assert item["gt"].shape == (64, 64, 3)
+    np.testing.assert_array_equal(item["in"], item["gt"])
+    assert item["gt"].min() >= -1.0 and item["gt"].max() <= 1.0
+    assert item["key"] == "clip_000/00000012/00000003"
+    # registry alias parity with the reference class names
+    from comfyui_keep_tpu.utils.registry import DATASET_REGISTRY
+    from comfyui_keep_tpu.data.datasets import VFHQRealDegradationDataset
+    assert DATASET_REGISTRY.get("VFHQDataset") is VFHQRealDegradationDataset
+
+
+def test_test_pipeline(tmp_path, rng):
+    """test_pipeline: SR model + paired folder -> metric dict."""
+    from comfyui_keep_tpu.training.train import test_pipeline
+    lq_dir, gt_dir = tmp_path / "lq", tmp_path / "gt"
+    lq_dir.mkdir(), gt_dir.mkdir()
+    for i in range(2):
+        img = (rng.random((16, 16, 3)) * 255).astype(np.uint8)
+        cv2.imwrite(str(gt_dir / f"{i}.png"),
+                    cv2.resize(img, (32, 32)))
+        cv2.imwrite(str(lq_dir / f"{i}.png"), img)
+    opt = {
+        "name": "t", "model_type": "SRModel", "manual_seed": 0,
+        "network_g": {"type": "MSRResNet", "num_feat": 8, "num_block": 1,
+                      "upscale": 2},
+        "datasets": {"test_1": {"type": "PairedImageDataset", "name": "toy",
+                                "dataroot_lq": str(lq_dir),
+                                "dataroot_gt": str(gt_dir), "scale": 2}},
+        "train": {"pixel_opt": {"type": "L1Loss"}},
+        "val": {"metrics": {"psnr": {"type": "calculate_psnr",
+                                     "crop_border": 0}}},
+        "path": {},
+    }
+    res = test_pipeline(opt)
+    assert "toy" in res and np.isfinite(res["toy"]["psnr"])
