@@ -626,3 +626,167 @@ class GMFlowTrainer(BaseTrainer):
 def build_model(opt: Dict, **kw):
     """Reference models/__init__.py:18-29."""
     return MODEL_REGISTRY.get(opt["model_type"])(opt, **kw)
+
+
+@MODEL_REGISTRY.register(name="StyleGAN2Model")
+class StyleGAN2Trainer(BaseTrainer):
+    """StyleGAN2 trainer (models/stylegan2_model.py:21-293): non-saturating
+    logistic GAN (wgan_softplus), style mixing, lazy R1 every
+    net_d_reg_every iters and path-length regularization every
+    net_g_reg_every iters, with the reference's reg-adjusted Adam lr/betas
+    ratio = reg_every / (reg_every + 1)."""
+
+    def __init__(self, opt, mesh=None):
+        super().__init__(opt, mesh)
+        g = opt.get("network_g", {})
+        self.out_size = g.get("out_size", 64)
+        self.num_style_feat = g.get("num_style_feat", 512)
+        t = opt.get("train", {})
+        self.r1_reg_weight = t.get("r1_reg_weight", 10.0)
+        self.path_reg_weight = t.get("path_reg_weight", 2.0)
+        self.net_g_reg_every = t.get("net_g_reg_every", 4)
+        self.net_d_reg_every = t.get("net_d_reg_every", 16)
+        self.mixing_prob = t.get("mixing_prob", 0.9)
+        self.mean_path_length = 0.0
+        self.cri_gan = build_loss(t.get("gan_opt", {
+            "type": "GANLoss", "gan_type": "wgan_softplus"}))
+
+    def init_params(self, key):
+        from comfyui_keep_tpu.models.stylegan2 import StyleGAN2Generator
+        return StyleGAN2Generator.init(
+            key, self.out_size, num_style_feat=self.num_style_feat,
+            **{k: v for k, v in self.opt.get("network_g", {}).items()
+               if k in ("num_mlp", "channel_multiplier", "narrow")})
+
+    def make_optimizer(self, params):
+        import optax
+        t = self.opt.get("train", {})
+        base = t.get("optim_g", {"lr": 2e-3})
+        ratio = self.net_g_reg_every / (self.net_g_reg_every + 1)
+        return optax.adam(base.get("lr", 2e-3) * ratio,
+                          b1=0.0, b2=0.99 ** ratio)
+
+    def make_state(self, key):
+        import jax
+        from comfyui_keep_tpu.models.stylegan2 import StyleGAN2Discriminator
+        import optax
+        state = super().make_state(key)
+        self.disc = StyleGAN2Discriminator
+        d_cfg = self.opt.get("network_d", {})
+        self.d_params = self.disc.init(
+            jax.random.fold_in(key, 99), d_cfg.get("out_size", self.out_size),
+            channel_multiplier=d_cfg.get("channel_multiplier", 2))
+        t = self.opt.get("train", {})
+        ratio = self.net_d_reg_every / (self.net_d_reg_every + 1)
+        self.tx_d = optax.adam(
+            t.get("optim_d", {}).get("lr", 2e-3) * ratio,
+            b1=0.0, b2=0.99 ** ratio)
+        self.d_opt_state = self.tx_d.init(self.d_params)
+        return state
+
+    def _mixing_noise(self, key, batch):
+        import jax
+        k1, k2, k3 = jax.random.split(key, 3)
+        n1 = jax.random.normal(k1, (batch, self.num_style_feat))
+        if float(jax.random.uniform(k3)) < self.mixing_prob:
+            n2 = jax.random.normal(k2, (batch, self.num_style_feat))
+            return [n1, n2]
+        return [n1]
+
+    def _g_apply(self, params, styles, rng):
+        from comfyui_keep_tpu.models.stylegan2 import StyleGAN2Generator
+        img, _ = StyleGAN2Generator.apply(
+            params, styles, self.out_size,
+            num_style_feat=self.num_style_feat, randomize_noise=True, rng=rng)
+        return img
+
+    def gan_train_step(self, state, batch, current_iter, rng=None):
+        """One alternation (stylegan2_model.py:185-254): d step (+lazy R1),
+        then g step (+lazy path regularization)."""
+        import jax
+        import optax
+        from comfyui_keep_tpu.training.losses import (g_path_regularize,
+                                                      r1_penalty)
+        rng = rng if rng is not None else jax.random.PRNGKey(current_iter)
+        kd, kg, kp, kn = jax.random.split(rng, 4)
+        real = batch["gt"]
+        b = real.shape[0]
+        logs = {}
+
+        # ---- discriminator -------------------------------------------------
+        noise = self._mixing_noise(kd, b)
+        fake = jax.lax.stop_gradient(self._g_apply(state.params, noise, kn))
+
+        def d_loss(dp):
+            real_pred = self.disc.apply(dp, real, self.out_size)
+            fake_pred = self.disc.apply(dp, fake, self.out_size)
+            return (self.cri_gan(real_pred, True, is_disc=True) +
+                    self.cri_gan(fake_pred, False, is_disc=True))
+
+        l_d, grads = jax.value_and_grad(d_loss)(self.d_params)
+        updates, self.d_opt_state = self.tx_d.update(grads, self.d_opt_state,
+                                                     self.d_params)
+        self.d_params = optax.apply_updates(self.d_params, updates)
+        logs["l_d"] = float(l_d)
+
+        if current_iter % self.net_d_reg_every == 0:
+            def d_r1(dp):
+                return r1_penalty(
+                    lambda r: self.disc.apply(dp, r, self.out_size), real) * (
+                    self.r1_reg_weight / 2 * self.net_d_reg_every)
+            l_r1, grads = jax.value_and_grad(d_r1)(self.d_params)
+            updates, self.d_opt_state = self.tx_d.update(
+                grads, self.d_opt_state, self.d_params)
+            self.d_params = optax.apply_updates(self.d_params, updates)
+            logs["l_d_r1"] = float(l_r1)
+
+        # ---- generator -----------------------------------------------------
+        noise = self._mixing_noise(kg, b)
+
+        def g_loss(gp):
+            img = self._g_apply(gp, noise, kn)
+            return self.cri_gan(self.disc.apply(self.d_params, img,
+                                                self.out_size),
+                                True, is_disc=False)
+
+        l_g, grads = jax.value_and_grad(g_loss)(state.params)
+        updates, state.opt_state = self.tx.update(grads, state.opt_state,
+                                                  state.params)
+        state.params = optax.apply_updates(state.params, updates)
+        logs["l_g"] = float(l_g)
+
+        if current_iter % self.net_g_reg_every == 0:
+            path_batch = max(1, b // 2)
+            latents = jax.random.normal(kp, (path_batch, self.num_style_feat))
+
+            def g_path(gp):
+                from comfyui_keep_tpu.models.stylegan2 import StyleGAN2Generator
+                def fake_fn(lat):
+                    img, _ = StyleGAN2Generator.apply(
+                        gp, [lat], self.out_size,
+                        num_style_feat=self.num_style_feat,
+                        randomize_noise=True, rng=kn)
+                    return img
+                pen, pm, _ = g_path_regularize(fake_fn, latents, kp,
+                                               self.mean_path_length)
+                return pen * self.path_reg_weight * self.net_g_reg_every, pm
+
+            (l_path, pm), grads = jax.value_and_grad(
+                g_path, has_aux=True)(state.params)
+            updates, state.opt_state = self.tx.update(grads, state.opt_state,
+                                                      state.params)
+            state.params = optax.apply_updates(state.params, updates)
+            self.mean_path_length = float(pm)
+            logs["l_g_path"] = float(l_path)
+
+        if state.ema_params is not None:
+            state.ema_params = ema_update(state.ema_params, state.params,
+                                          self.ema_decay)
+        state.iter += 1
+        return state, logs
+
+
+# HiFaceGAN trains like SRGAN with a (multi-scale capable) discriminator;
+# MultiScaleGANLoss handles list-of-scales D outputs
+# (reference models/hifacegan_model.py builds on sr_model + gan_loss)
+MODEL_REGISTRY.register(SRGANTrainer, name="HiFaceGANModel")

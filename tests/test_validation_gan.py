@@ -78,3 +78,29 @@ def test_video_recurrent_trainer_step(rng):
     # flow net trains at reduced lr (not frozen, not zero update)
     p1 = np.asarray(state.params["spynet"]["basic_module"][0]["basic_module"][0]["w"])
     assert not np.allclose(p0, p1)
+
+
+class TestStyleGAN2Trainer:
+    def test_gan_train_step_with_lazy_reg(self, rng):
+        import jax
+        from comfyui_keep_tpu.training.trainers import build_model
+        opt = {
+            "model_type": "StyleGAN2Model",
+            "network_g": {"out_size": 32, "num_style_feat": 16, "num_mlp": 2,
+                          "channel_multiplier": 1, "narrow": 0.25},
+            "network_d": {"out_size": 32, "channel_multiplier": 1},
+            "train": {"optim_g": {"lr": 1e-3}, "optim_d": {"lr": 1e-3},
+                      "net_g_reg_every": 2, "net_d_reg_every": 2,
+                      "mixing_prob": 1.0, "ema_decay": 0.99},
+        }
+        tr = build_model(opt)
+        state = tr.make_state(jax.random.PRNGKey(0))
+        batch = {"gt": jnp.asarray(
+            rng.standard_normal((2, 32, 32, 3), dtype=np.float32))}
+        state, logs = tr.gan_train_step(state, batch, current_iter=1)
+        assert np.isfinite(logs["l_g"]) and np.isfinite(logs["l_d"])
+        assert "l_d_r1" not in logs
+        state, logs = tr.gan_train_step(state, batch, current_iter=2)
+        # lazy regularization fires on reg_every multiples
+        assert np.isfinite(logs["l_d_r1"]) and np.isfinite(logs["l_g_path"])
+        assert tr.mean_path_length > 0 or logs["l_g_path"] >= 0
