@@ -7,6 +7,8 @@ exact-copy (the reference overwrites tile interiors rather than feathering —
 pipeline/tiled.py offers the feathered variant).
 """
 import math
+import queue
+import threading
 from typing import Callable, Optional
 
 import numpy as np
@@ -140,3 +142,47 @@ class RealESRGANer:
                                          int(h_input * outscale)),
                                 interpolation=cv2.INTER_LANCZOS4)
         return output, img_mode
+
+
+class PrefetchReader(threading.Thread):
+    """Background image reader feeding a bounded queue
+    (realesrgan_utils.py:258-283)."""
+
+    def __init__(self, img_list, num_prefetch_queue):
+        super().__init__()
+        self.que = queue.Queue(num_prefetch_queue)
+        self.img_list = img_list
+
+    def run(self):
+        import cv2
+        for img_path in self.img_list:
+            self.que.put(cv2.imread(img_path, cv2.IMREAD_UNCHANGED))
+        self.que.put(None)
+
+    def __next__(self):
+        item = self.que.get()
+        if item is None:
+            raise StopIteration
+        return item
+
+    def __iter__(self):
+        return self
+
+
+class IOConsumer(threading.Thread):
+    """Background image writer draining a queue until 'quit'
+    (realesrgan_utils.py:286-304)."""
+
+    def __init__(self, opt, que, qid):
+        super().__init__()
+        self._queue = que
+        self.qid = qid
+        self.opt = opt
+
+    def run(self):
+        import cv2
+        while True:
+            msg = self._queue.get()
+            if isinstance(msg, str) and msg == "quit":
+                break
+            cv2.imwrite(msg["save_path"], msg["output"])
