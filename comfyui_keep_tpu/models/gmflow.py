@@ -243,15 +243,26 @@ def coords_grid(h: int, w: int):
 
 def global_correlation_softmax(f0, f1):
     """(B, H, W, C) x2 -> flow (B, H, W, 2): softmax-weighted expectation of
-    the grid over the full (H*W)^2 correlation (matching.py:7-36)."""
+    the grid over the full (H*W)^2 correlation (matching.py:7-36).
+
+    On TPU the expectation runs as a fused Pallas kernel (the f32 (L, L)
+    correlation never hits HBM — at 64x64 features it is 67 MB per image
+    pair otherwise); elsewhere, plain XLA einsum+softmax."""
+    from comfyui_keep_tpu.ops.pallas_kernels import (
+        _HAVE_PALLAS, _on_tpu, global_correlation_expectation_pallas)
     b, h, w, c = f0.shape
     t0 = f0.reshape(b, h * w, c)
     t1 = f1.reshape(b, h * w, c)
-    corr = jnp.einsum("blc,bmc->blm", t0, t1,
-                      preferred_element_type=jnp.float32) / math.sqrt(c)
-    prob = jax.nn.softmax(corr, axis=-1)
     grid = coords_grid(h, w).reshape(h * w, 2)
-    corresp = jnp.einsum("blm,mk->blk", prob, grid).reshape(b, h, w, 2)
+    if _HAVE_PALLAS and _on_tpu() and (h * w) % 128 == 0 and c % 128 == 0:
+        corresp = global_correlation_expectation_pallas(t0, t1, grid)
+        corresp = corresp.reshape(b, h, w, 2)
+        prob = None  # not materialized (unused by the serving path)
+    else:
+        corr = jnp.einsum("blc,bmc->blm", t0, t1,
+                          preferred_element_type=jnp.float32) / math.sqrt(c)
+        prob = jax.nn.softmax(corr, axis=-1)
+        corresp = jnp.einsum("blm,mk->blk", prob, grid).reshape(b, h, w, 2)
     # softmax expectation runs in f32; return in the feature dtype so the
     # downstream convs stay bf16-consistent
     return (corresp - grid.reshape(h, w, 2)).astype(f0.dtype), prob

@@ -116,3 +116,51 @@ def fused_bias_lrelu_pallas(x, bias, negative_slope: float = 0.2,
         interpret=interpret,
     )(fp, bias[None, :])
     return out[:rows].reshape(shape)
+
+
+# ---------------------------------------------------------------------------
+# fused global-correlation softmax expectation (GMFlow matching.py:7-36)
+# ---------------------------------------------------------------------------
+
+def _corr_flash_kernel(q_ref, k_ref, g_ref, o_ref, *, scale):
+    # scores for one query block against the whole key image, VMEM-resident:
+    # never materializes the (L, L) correlation in HBM
+    q = q_ref[0]                                   # (bq, C)
+    k = k_ref[0]                                   # (L, C)
+    s = jax.lax.dot_general(q, k, (((1,), (1,)), ((), ())),
+                            preferred_element_type=jnp.float32) * scale
+    m = jnp.max(s, axis=1, keepdims=True)
+    p = jnp.exp(s - m)                             # (bq, L) f32
+    denom = jnp.sum(p, axis=1, keepdims=True)
+    acc = jnp.dot(p, g_ref[:], preferred_element_type=jnp.float32)
+    o_ref[0] = acc / denom
+
+
+def global_correlation_expectation_pallas(f0, f1, grid, block_q: int = 256,
+                                          interpret: bool = False):
+    """softmax(f0 f1^T / sqrt(C)) @ grid without the HBM (B, L, L) matrix.
+
+    f0/f1: (B, L, C); grid: (L, 2) f32 pixel coords. Returns (B, L, 2) f32
+    softmax-weighted correspondence. The f32 correlation block (bq, L) and
+    the full key image stay in VMEM (~8 MB at L=4096, bq=256, C=128)."""
+    b, l, c = f0.shape
+    bq = min(block_q, l)
+    assert l % bq == 0
+    gpad = jnp.zeros((l, 128), jnp.float32).at[:, :2].set(grid)
+    out = pl.pallas_call(
+        functools.partial(_corr_flash_kernel, scale=1.0 / math.sqrt(c)),
+        grid=(b, l // bq),
+        in_specs=[
+            pl.BlockSpec((1, bq, c), lambda i, j: (i, j, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, l, c), lambda i, j: (i, 0, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((l, 128), lambda i, j: (0, 0),
+                         memory_space=pltpu.VMEM),
+        ],
+        out_specs=pl.BlockSpec((1, bq, 128), lambda i, j: (i, j, 0),
+                               memory_space=pltpu.VMEM),
+        out_shape=jax.ShapeDtypeStruct((b, l, 128), jnp.float32),
+        interpret=interpret,
+    )(f0, f1, gpad)
+    return out[:, :, :2]

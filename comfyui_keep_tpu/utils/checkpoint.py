@@ -24,9 +24,21 @@ Rule = Tuple[str, Callable[[str, np.ndarray], Optional[Tuple[Tuple[str, ...], np
 
 
 def read_pth(path: str, prefer: Sequence[str] = ("params_ema", "params")) -> Dict[str, np.ndarray]:
-    """Load a torch checkpoint into {key: np.ndarray}, preferring params_ema."""
-    import torch
-    ckpt = torch.load(path, map_location="cpu", weights_only=True)
+    """Load a torch checkpoint into {key: np.ndarray}, preferring params_ema.
+
+    Uses torch when importable; otherwise (or with KEEP_TPU_NO_TORCH=1)
+    falls back to the torch-free zip/pickle parser below (SURVEY §7 design
+    stance: the framework must ingest the 5 foreign .pth files without a
+    torch dependency)."""
+    import os
+    if os.environ.get("KEEP_TPU_NO_TORCH") == "1":
+        ckpt = read_pth_torchfree(path)
+    else:
+        try:
+            import torch
+            ckpt = torch.load(path, map_location="cpu", weights_only=True)
+        except ImportError:
+            ckpt = read_pth_torchfree(path)
     if isinstance(ckpt, dict):
         for k in prefer:
             if k in ckpt:
@@ -36,8 +48,81 @@ def read_pth(path: str, prefer: Sequence[str] = ("params_ema", "params")) -> Dic
     for k, v in ckpt.items():
         if k.startswith("module."):
             k = k[len("module."):]
-        out[k] = np.asarray(v.detach().cpu().float().numpy()) if hasattr(v, "detach") else np.asarray(v)
+        if hasattr(v, "detach"):
+            v = v.detach().cpu().float().numpy()
+        out[k] = np.asarray(v, np.float32) if np.asarray(v).dtype in (
+            np.float16, np.float64) else np.asarray(v)
     return out
+
+
+# -- torch-free .pth zip reader ----------------------------------------------
+
+_STORAGE_DTYPES = {
+    "FloatStorage": np.float32, "DoubleStorage": np.float64,
+    "HalfStorage": np.float16, "LongStorage": np.int64,
+    "IntStorage": np.int32, "ShortStorage": np.int16,
+    "CharStorage": np.int8, "ByteStorage": np.uint8,
+    "BoolStorage": np.bool_, "BFloat16Storage": "bfloat16",
+}
+
+
+class _StorageTag:
+    def __init__(self, name):
+        self.name = name
+
+
+def read_pth_torchfree(path: str):
+    """Parse a modern zip-format torch checkpoint (torch>=1.6 serialization:
+    `<name>/data.pkl` pickle whose persistent ids reference raw little-endian
+    storage blobs at `<name>/data/<key>`) into numpy arrays — no torch."""
+    import io
+    import pickle
+    import zipfile
+    from collections import OrderedDict
+
+    zf = zipfile.ZipFile(path)
+    pkl_name = next(n for n in zf.namelist() if n.endswith("/data.pkl"))
+    prefix = pkl_name[: -len("/data.pkl")]
+
+    def load_storage(storage_type: "_StorageTag", key: str):
+        raw = zf.read(f"{prefix}/data/{key}")
+        dt = _STORAGE_DTYPES[storage_type.name]
+        if dt == "bfloat16":
+            import ml_dtypes
+            return np.frombuffer(raw, np.uint16).view(ml_dtypes.bfloat16)
+        return np.frombuffer(raw, dt)
+
+    def rebuild_tensor_v2(storage, storage_offset, size, stride, *_):
+        size = tuple(size)
+        if not size:
+            return storage[storage_offset].copy()
+        itemsize = storage.dtype.itemsize
+        arr = np.lib.stride_tricks.as_strided(
+            storage[storage_offset:], shape=size,
+            strides=tuple(s * itemsize for s in stride))
+        return np.ascontiguousarray(arr)
+
+    class Unpickler(pickle.Unpickler):
+        def find_class(self, module, name):
+            if name == "_rebuild_tensor_v2":
+                return rebuild_tensor_v2
+            if name == "_rebuild_parameter":
+                return lambda data, requires_grad, hooks: data
+            if name in _STORAGE_DTYPES:
+                return _StorageTag(name)
+            if (module, name) == ("collections", "OrderedDict"):
+                return OrderedDict
+            if name in ("int64", "int32", "float32", "float64"):  # np scalars
+                return getattr(np, name)
+            raise pickle.UnpicklingError(
+                f"torch-free reader: unsupported global {module}.{name}")
+
+        def persistent_load(self, pid):
+            # ('storage', StorageTag, key, location, numel)
+            assert pid[0] == "storage"
+            return load_storage(pid[1], pid[2])
+
+    return Unpickler(io.BytesIO(zf.read(pkl_name))).load()
 
 
 def _listify(tree: Any) -> Any:

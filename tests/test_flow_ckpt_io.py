@@ -58,3 +58,43 @@ def test_train_state_save_resume(tmp_path, rng):
     s2 = TrainState(params=None, opt_state=None)
     s2.resume(latest)
     assert s2.iter == 42 and s2.epoch == 1
+
+
+class TestTorchFreeReader:
+    def test_matches_torch_load(self, tmp_path, rng):
+        import torch
+        from comfyui_keep_tpu.utils.checkpoint import (read_pth,
+                                                       read_pth_torchfree)
+        net = torch.nn.Sequential(
+            torch.nn.Conv2d(3, 4, 3), torch.nn.BatchNorm2d(4),
+            torch.nn.Linear(4, 2))
+        p = str(tmp_path / "net.pth")
+        torch.save({"params_ema": net.state_dict()}, p)
+        tf = read_pth_torchfree(p)["params_ema"]
+        ref = {k: v.numpy() for k, v in net.state_dict().items()}
+        assert set(tf) == set(ref)
+        for k in ref:
+            np.testing.assert_array_equal(np.asarray(tf[k]), ref[k])
+
+    def test_read_pth_env_override(self, tmp_path, monkeypatch):
+        import torch
+        from comfyui_keep_tpu.utils.checkpoint import read_pth
+        t = torch.nn.Linear(2, 3)
+        p = str(tmp_path / "lin.pth")
+        torch.save(t.state_dict(), p)
+        monkeypatch.setenv("KEEP_TPU_NO_TORCH", "1")
+        out = read_pth(p)
+        np.testing.assert_allclose(out["weight"],
+                                   t.weight.detach().numpy(), atol=0)
+
+    def test_noncontiguous_and_scalar(self, tmp_path):
+        import torch
+        from comfyui_keep_tpu.utils.checkpoint import read_pth_torchfree
+        big = torch.arange(24, dtype=torch.float32).reshape(4, 6)
+        obj = {"t": big.t(),            # transposed (non-trivial strides)
+               "s": torch.tensor(7.5)}  # 0-dim
+        p = str(tmp_path / "odd.pth")
+        torch.save(obj, p)
+        out = read_pth_torchfree(p)
+        np.testing.assert_array_equal(np.asarray(out["t"]), big.t().numpy())
+        assert float(out["s"]) == 7.5

@@ -156,3 +156,20 @@ class TestPallasKernels:
         got = fused_bias_lrelu_pallas(x, b, interpret=True)
         ref = N.fused_leaky_relu(x, b)
         np.testing.assert_allclose(np.asarray(got), np.asarray(ref), atol=1e-6)
+
+
+def test_flash_correlation_expectation(rng):
+    """Pallas fused softmax-expectation == XLA einsum path (interpret mode)."""
+    import jax
+    import jax.numpy as jnp
+    from comfyui_keep_tpu.ops.pallas_kernels import (
+        global_correlation_expectation_pallas)
+    b, l, c = 2, 128, 128
+    f0 = jnp.asarray(rng.standard_normal((b, l, c), dtype=np.float32))
+    f1 = jnp.asarray(rng.standard_normal((b, l, c), dtype=np.float32))
+    grid = jnp.asarray(rng.random((l, 2), dtype=np.float32) * 16)
+    ref = jax.nn.softmax(
+        jnp.einsum("blc,bmc->blm", f0, f1) / np.sqrt(c), -1) @ grid
+    out = global_correlation_expectation_pallas(f0, f1, grid, interpret=True)
+    np.testing.assert_allclose(np.asarray(out), np.asarray(ref),
+                               atol=3e-5, rtol=1e-5)
