@@ -161,6 +161,23 @@ def _tlayer_init(key, d: int, ffn: bool, expansion: int = 4):
     return p
 
 
+def _sdpa(q, k, v, scale, bias=None):
+    """softmax(q k^T * scale [+ bias]) v — Pallas-fused on TPU (K/V and the
+    f32 scores VMEM-resident), XLA einsum elsewhere."""
+    from comfyui_keep_tpu.ops.pallas_kernels import (_HAVE_PALLAS, _on_tpu,
+                                                     attention_pallas)
+    l, c = q.shape[-2], q.shape[-1]
+    if (_HAVE_PALLAS and _on_tpu() and c % 128 == 0 and l % 128 == 0
+            and (bias is None or q.shape[0] % bias.shape[0] == 0)):
+        return attention_pallas(q, k, v, scale, bias=bias)
+    scores = jnp.einsum("blc,bmc->blm", q, k,
+                        preferred_element_type=jnp.float32) * scale
+    if bias is not None:
+        scores = scores + jnp.tile(bias, (q.shape[0] // bias.shape[0], 1, 1))
+    probs = jax.nn.softmax(scores, axis=-1).astype(v.dtype)
+    return jnp.einsum("blm,bmc->blc", probs, v)
+
+
 def _attention_tokens(q, k, v, h, w, splits: int, shift: bool, mask):
     """Single-head attention over (B, H*W, C) tokens with optional Swin
     split/shift windows (transformer.py:8-105)."""
@@ -176,20 +193,13 @@ def _attention_tokens(q, k, v, h, w, splits: int, shift: bool, mask):
             return split_windows(t, splits).reshape(b * splits * splits, wsh * wsw, c)
 
         qs, ks_, vs = prep(q), prep(k), prep(v)
-        scores = jnp.einsum("blc,bmc->blm", qs, ks_,
-                            preferred_element_type=jnp.float32) * scale
-        if shift:
-            scores = scores + jnp.tile(jnp.asarray(mask), (b, 1, 1))
-        probs = jax.nn.softmax(scores, axis=-1).astype(vs.dtype)
-        out = jnp.einsum("blm,bmc->blc", probs, vs)
+        bias = jnp.asarray(mask, jnp.float32) if shift else None
+        out = _sdpa(qs, ks_, vs, scale, bias=bias)
         out = merge_windows(out.reshape(b * splits * splits, wsh, wsw, c), splits)
         if shift:
             out = jnp.roll(out, (wsh // 2, wsw // 2), axis=(1, 2))
         return out.reshape(b, l, c)
-    scores = jnp.einsum("blc,bmc->blm", q, k,
-                        preferred_element_type=jnp.float32) * scale
-    probs = jax.nn.softmax(scores, axis=-1).astype(v.dtype)
-    return jnp.einsum("blm,bmc->blc", probs, v)
+    return _sdpa(q, k, v, scale)
 
 
 def _tlayer_apply(p, source, target, h, w, splits, shift, mask):

@@ -27,6 +27,9 @@ except ImportError:  # pragma: no cover
 
 
 def _on_tpu():
+    import os
+    if os.environ.get("KEEP_TPU_FORCE_XLA") == "1":  # kernel kill-switch
+        return False
     try:
         return jax.devices()[0].platform in ("tpu", "axon")
     except Exception:  # pragma: no cover
@@ -164,3 +167,82 @@ def global_correlation_expectation_pallas(f0, f1, grid, block_q: int = 256,
         interpret=interpret,
     )(f0, f1, gpad)
     return out[:, :, :2]
+
+
+# ---------------------------------------------------------------------------
+# fused single-head attention (GMFlow transformer windows / global attention)
+# ---------------------------------------------------------------------------
+
+def _attn_kernel(q_ref, k_ref, v_ref, o_ref, *, scale):
+    q = q_ref[0]
+    k = k_ref[0]
+    s = jax.lax.dot_general(q, k, (((1,), (1,)), ((), ())),
+                            preferred_element_type=jnp.float32) * scale
+    m = jnp.max(s, axis=1, keepdims=True)
+    p = jnp.exp(s - m)
+    p = p / jnp.sum(p, axis=1, keepdims=True)
+    v = v_ref[0]
+    o_ref[0] = jnp.dot(p.astype(v.dtype), v,
+                       preferred_element_type=jnp.float32).astype(o_ref.dtype)
+
+
+def _attn_bias_kernel(q_ref, k_ref, v_ref, b_ref, o_ref, *, scale):
+    q = q_ref[0]
+    k = k_ref[0]
+    s = jax.lax.dot_general(q, k, (((1,), (1,)), ((), ())),
+                            preferred_element_type=jnp.float32) * scale
+    s = s + b_ref[0].astype(jnp.float32)
+    m = jnp.max(s, axis=1, keepdims=True)
+    p = jnp.exp(s - m)
+    p = p / jnp.sum(p, axis=1, keepdims=True)
+    v = v_ref[0]
+    o_ref[0] = jnp.dot(p.astype(v.dtype), v,
+                       preferred_element_type=jnp.float32).astype(o_ref.dtype)
+
+
+def attention_pallas(q, k, v, scale: float, bias=None, block_q: int = 256,
+                     interpret: bool = False):
+    """Fused single-head softmax(q k^T * scale [+ bias]) v for (B, L, D)
+    with K/V and the f32 score block VMEM-resident (one HBM pass; the
+    (L, L) score matrix never hits HBM). bias: (Bm, L, L) additive mask with
+    Bm dividing B (window masks repeat every Bm batch entries — the Swin
+    shifted-window case, gmflow transformer.py:8-105)."""
+    b, l, d = q.shape
+    bq = min(block_q, l)
+    assert l % bq == 0
+    if bias is None:
+        return pl.pallas_call(
+            functools.partial(_attn_kernel, scale=scale),
+            grid=(b, l // bq),
+            in_specs=[
+                pl.BlockSpec((1, bq, d), lambda i, j: (i, j, 0),
+                             memory_space=pltpu.VMEM),
+                pl.BlockSpec((1, l, d), lambda i, j: (i, 0, 0),
+                             memory_space=pltpu.VMEM),
+                pl.BlockSpec((1, l, d), lambda i, j: (i, 0, 0),
+                             memory_space=pltpu.VMEM),
+            ],
+            out_specs=pl.BlockSpec((1, bq, d), lambda i, j: (i, j, 0),
+                                   memory_space=pltpu.VMEM),
+            out_shape=jax.ShapeDtypeStruct(q.shape, v.dtype),
+            interpret=interpret,
+        )(q, k, v)
+    nb = bias.shape[0]
+    return pl.pallas_call(
+        functools.partial(_attn_bias_kernel, scale=scale),
+        grid=(b, l // bq),
+        in_specs=[
+            pl.BlockSpec((1, bq, d), lambda i, j: (i, j, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, l, d), lambda i, j: (i, 0, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, l, d), lambda i, j: (i, 0, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, bq, l), lambda i, j: (i % nb, j, 0),
+                         memory_space=pltpu.VMEM),
+        ],
+        out_specs=pl.BlockSpec((1, bq, d), lambda i, j: (i, j, 0),
+                               memory_space=pltpu.VMEM),
+        out_shape=jax.ShapeDtypeStruct(q.shape, v.dtype),
+        interpret=interpret,
+    )(q, k, v, bias)
