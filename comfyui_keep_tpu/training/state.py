@@ -149,3 +149,46 @@ def masked_optimizer(tx, params, frozen_prefixes):
     mask = freeze_mask(params, frozen_prefixes)
     return optax.multi_transform(
         {"trainable": tx, "frozen": optax.set_to_zero()}, mask)
+
+
+def merge_network_params(params, loaded, strict: bool = True):
+    """Non-strict network load (base_model.py:254-287): copy leaves from
+    `loaded` into the structure of `params`; with strict=False, missing keys
+    and size-mismatched tensors are dropped with a warning instead of
+    raising. Returns the merged tree."""
+    import jax
+    from comfyui_keep_tpu.utils.logger import get_root_logger
+    logger = get_root_logger()
+
+    flat_p = {jax.tree_util.keystr(kp): (kp, v) for kp, v in
+              jax.tree_util.tree_flatten_with_path(params)[0]}
+    flat_l = {jax.tree_util.keystr(kp): v for kp, v in
+              jax.tree_util.tree_flatten_with_path(loaded)[0]}
+
+    merged = {}
+    for key, (kp, cur) in flat_p.items():
+        if key not in flat_l:
+            if strict:
+                raise KeyError(f"missing key in checkpoint: {key}")
+            logger.warning(f"missing key in checkpoint (kept init): {key}")
+            merged[key] = cur
+            continue
+        new = flat_l[key]
+        if tuple(np.shape(new)) != tuple(np.shape(cur)):
+            if strict:
+                raise ValueError(f"size mismatch for {key}: "
+                                 f"{np.shape(new)} vs {np.shape(cur)}")
+            logger.warning(f"size mismatch for {key} "
+                           f"({np.shape(new)} vs {np.shape(cur)}); dropped")
+            merged[key] = cur
+        else:
+            merged[key] = new
+    extra = set(flat_l) - set(flat_p)
+    if extra:
+        if strict:
+            raise KeyError(f"unexpected keys in checkpoint: {sorted(extra)[:5]}")
+        logger.warning(f"{len(extra)} unexpected checkpoint keys ignored")
+    leaves = [merged[jax.tree_util.keystr(kp)] for kp, _ in
+              jax.tree_util.tree_flatten_with_path(params)[0]]
+    return jax.tree_util.tree_unflatten(
+        jax.tree_util.tree_structure(params), leaves)

@@ -98,3 +98,17 @@ class TestTorchFreeReader:
         out = read_pth_torchfree(p)
         np.testing.assert_array_equal(np.asarray(out["t"]), big.t().numpy())
         assert float(out["s"]) == 7.5
+
+
+def test_merge_network_params_nonstrict():
+    import jax.numpy as jnp
+    from comfyui_keep_tpu.training.state import merge_network_params
+    params = {"a": {"w": jnp.zeros((2, 2)), "b": jnp.zeros(2)},
+              "c": jnp.ones(3)}
+    loaded = {"a": {"w": np.full((2, 2), 5.0), "b": np.zeros(4)}}
+    out = merge_network_params(params, loaded, strict=False)
+    assert float(out["a"]["w"][0, 0]) == 5.0     # loaded
+    assert out["a"]["b"].shape == (2,)            # mismatch -> init kept
+    assert float(out["c"][0]) == 1.0              # missing -> init kept
+    with pytest.raises((KeyError, ValueError)):
+        merge_network_params(params, loaded, strict=True)
