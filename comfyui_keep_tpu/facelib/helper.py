@@ -32,6 +32,30 @@ MASK_COLORMAP = [0, 255, 255, 255, 255, 255, 255, 255, 255, 255, 255, 255,
                  255, 255, 0, 255, 0, 0, 0]
 
 
+
+def _warp_affine(img, m, dsize, border_mode="constant", border_value=None,
+                 flags_nearest=False):
+    """cv2.warpAffine when available, else the native C++ warp
+    (native/src/pixel_ops.cpp warp_affine_bilinear_f32)."""
+    if _HAVE_CV2:
+        kw = {}
+        if border_value is not None:
+            kw["borderValue"] = border_value
+        if border_mode == "replicate":
+            kw["borderMode"] = cv2.BORDER_REPLICATE
+        elif border_mode == "reflect101":
+            kw["borderMode"] = cv2.BORDER_REFLECT101
+        if flags_nearest:
+            kw["flags"] = cv2.INTER_NEAREST
+        return cv2.warpAffine(img, m, tuple(dsize), **kw)
+    from comfyui_keep_tpu.native import warp_affine_native
+    out = warp_affine_native(img, m, dsize, border_mode=border_mode,
+                             border_value=border_value)
+    if out is None:
+        raise RuntimeError("no cv2 and native pixel_ops unavailable")
+    return out
+
+
 def similarity_transform(src: np.ndarray, dst: np.ndarray) -> np.ndarray:
     """Least-squares 4-DOF similarity (scale/rotation/translation) mapping
     src -> dst; 2x3 matrix. Equivalent to cv2.estimateAffinePartial2D's
@@ -193,7 +217,10 @@ class FaceRestoreHelper:
             self.affine_matrices.append(m)
             cropped = cv2.warpAffine(self.input_img, m, self.face_size,
                                      borderMode=border,
-                                     borderValue=(135, 133, 132))
+                                     borderValue=(135, 133, 132)) \
+                if _HAVE_CV2 else _warp_affine(
+                    self.input_img, m, self.face_size,
+                    border_mode=border_mode, border_value=(135, 133, 132))
             self.cropped_faces.append(cropped)
 
     def get_inverse_affine(self):
@@ -255,9 +282,9 @@ class FaceRestoreHelper:
                                   interpolation=cv2.INTER_LANCZOS4)
             fh, fw = face.shape[:2]
 
-            inv_restored = cv2.warpAffine(face, inv_m, (w_up, h_up))
+            inv_restored = _warp_affine(face, inv_m, (w_up, h_up))
             mask = np.ones((fh, fw), np.float32)
-            inv_mask = cv2.warpAffine(mask, inv_m, (w_up, h_up))
+            inv_mask = _warp_affine(mask, inv_m, (w_up, h_up))
             k = int(2 * self.upscale_factor)
             inv_mask_erosion = cv2.erode(inv_mask, np.ones((k, k), np.uint8))
             total_face_area = max(np.sum(inv_mask_erosion), 1)
@@ -267,7 +294,7 @@ class FaceRestoreHelper:
                 bt = int(1400 / np.sqrt(total_face_area))
                 bt = max(1, min(bt, min(fh, fw) // 20))
                 cv2.rectangle(mb, (bt, bt), (fw - bt - 1, fh - bt - 1), (0, 0, 0), -1)
-                borders.append(cv2.warpAffine(mb, inv_m, (w_up, h_up)))
+                borders.append(_warp_affine(mb, inv_m, (w_up, h_up)))
 
             w_edge = int(total_face_area ** 0.5) // 20
             r = max(1, w_edge * 2)

@@ -46,6 +46,11 @@ def get_lib():
             lib.rgb01_to_bgr_u8.argtypes = [
                 ctypes.c_void_p, ctypes.c_void_p, ctypes.c_int64]
             lib.blend_tile.argtypes = [ctypes.c_void_p] * 4 + [ctypes.c_int64] * 7
+            lib.warp_affine_bilinear_f32.argtypes = [
+                ctypes.c_void_p, ctypes.c_int64, ctypes.c_int64,
+                ctypes.c_int64, ctypes.c_void_p, ctypes.c_void_p,
+                ctypes.c_int64, ctypes.c_int64, ctypes.c_int32,
+                ctypes.c_void_p]
             _LIB = lib
         except Exception:  # silent fallback, like the reference loaders
             _LIB = None
@@ -85,3 +90,40 @@ def blend_tile_native(out: np.ndarray, div: np.ndarray, tile: np.ndarray,
                                         np.float32).ctypes.data,
                    out.shape[0], out.shape[1], c, th, tw, y0, x0)
     return True
+
+
+_BORDER_MODES = {"constant": 0, "replicate": 1, "reflect101": 2}
+
+
+def warp_affine_native(img: np.ndarray, m: np.ndarray, dsize,
+                       border_mode: str = "constant", border_value=None):
+    """cv2.warpAffine equivalent (bilinear, float path). img: (H, W[, C])
+    uint8 or float; m: 2x3 FORWARD matrix (src->dst, cv2 convention);
+    dsize: (width, height). Returns warped array in img.dtype, or None if
+    the native lib is unavailable."""
+    lib = get_lib()
+    if lib is None:
+        return None
+    squeeze = img.ndim == 2
+    src = img[..., None] if squeeze else img
+    in_dtype = src.dtype
+    srcf = np.ascontiguousarray(src, np.float32)
+    h, w, c = srcf.shape
+    dw, dh = int(dsize[0]), int(dsize[1])
+    # invert the forward matrix: dst pixel -> src coords
+    full = np.vstack([np.asarray(m, np.float64), [0.0, 0.0, 1.0]])
+    minv = np.ascontiguousarray(np.linalg.inv(full)[:2])
+    dst = np.empty((dh, dw, c), np.float32)
+    bv = None
+    if border_value is not None:
+        bvals = np.resize(np.asarray(border_value, np.float32), c)
+        bv = np.ascontiguousarray(bvals)
+    lib.warp_affine_bilinear_f32(
+        srcf.ctypes.data, h, w, c, minv.ctypes.data, dst.ctypes.data,
+        dh, dw, _BORDER_MODES[border_mode],
+        bv.ctypes.data if bv is not None else None)
+    if np.issubdtype(in_dtype, np.integer):
+        dst = np.clip(np.rint(dst), np.iinfo(in_dtype).min,
+                      np.iinfo(in_dtype).max).astype(in_dtype)
+    out = dst[..., 0] if squeeze else dst
+    return out

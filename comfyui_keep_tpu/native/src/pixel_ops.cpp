@@ -105,3 +105,68 @@ void rgb01_to_bgr_u8(const float* src, uint8_t* dst, int64_t n) {
 }
 
 }  // extern "C"
+
+extern "C" {
+
+// Inverse-map affine warp with bilinear sampling (cv2.warpAffine semantics,
+// float path — no cv2 fixed-point quantization). `minv` is the 2x3 matrix
+// mapping DST pixel coords -> SRC coords (the caller inverts the forward
+// matrix). border_mode: 0 = constant (border_value per channel),
+// 1 = replicate, 2 = reflect101. Works for any channel count / dtype=float.
+void warp_affine_bilinear_f32(const float* src, int64_t sh, int64_t sw,
+                              int64_t c, const double* minv, float* dst,
+                              int64_t dh, int64_t dw, int border_mode,
+                              const float* border_value) {
+  const double a = minv[0], b = minv[1], tx = minv[2];
+  const double d = minv[3], e = minv[4], ty = minv[5];
+  auto reflect = [](int64_t p, int64_t n) {
+    if (n == 1) return (int64_t)0;
+    int64_t period = 2 * (n - 1);
+    p = ((p % period) + period) % period;
+    return p < n ? p : period - p;
+  };
+  parallel_for(dh, [&](int64_t lo, int64_t hi) {
+    for (int64_t y = lo; y < hi; ++y) {
+      float* orow = dst + y * dw * c;
+      for (int64_t x = 0; x < dw; ++x) {
+        double fx = a * x + b * y + tx;
+        double fy = d * x + e * y + ty;
+        int64_t x0 = (int64_t)std::floor(fx);
+        int64_t y0 = (int64_t)std::floor(fy);
+        float wx = (float)(fx - x0);
+        float wy = (float)(fy - y0);
+        float* out = orow + x * c;
+        for (int64_t k = 0; k < c; ++k) out[k] = 0.0f;
+        for (int dy = 0; dy < 2; ++dy) {
+          for (int dx = 0; dx < 2; ++dx) {
+            int64_t sx = x0 + dx, sy = y0 + dy;
+            float w = (dx ? wx : 1.0f - wx) * (dy ? wy : 1.0f - wy);
+            if (w == 0.0f) continue;
+            const float* pix;
+            float cval[16];
+            if (sx < 0 || sx >= sw || sy < 0 || sy >= sh) {
+              if (border_mode == 0) {
+                for (int64_t k = 0; k < c && k < 16; ++k)
+                  cval[k] = border_value ? border_value[k] : 0.0f;
+                pix = cval;
+              } else if (border_mode == 1) {
+                sx = std::min(std::max(sx, (int64_t)0), sw - 1);
+                sy = std::min(std::max(sy, (int64_t)0), sh - 1);
+                pix = src + (sy * sw + sx) * c;
+              } else {
+                sx = reflect(sx, sw);
+                sy = reflect(sy, sh);
+                pix = src + (sy * sw + sx) * c;
+              }
+            } else {
+              pix = src + (sy * sw + sx) * c;
+            }
+            for (int64_t k = 0; k < c; ++k) out[k] += w * pix[k];
+          }
+        }
+      }
+    }
+  });
+}
+
+}  // extern "C"

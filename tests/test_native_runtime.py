@@ -49,3 +49,36 @@ def test_image_utils_use_native(rng):
     x = bgr_u8_to_rgb_pm1(img)
     back = rgb_pm1_to_bgr_u8(x)
     np.testing.assert_array_equal(back, img)
+
+
+class TestNativeWarpAffine:
+    def test_matches_cv2(self, rng):
+        cv2 = pytest.importorskip("cv2")
+        from comfyui_keep_tpu.native import warp_affine_native
+        if warp_affine_native(np.zeros((4, 4), np.float32),
+                              np.eye(2, 3), (4, 4)) is None:
+            pytest.skip("native lib unavailable")
+        img = (rng.random((64, 80, 3)) * 255).astype(np.uint8)
+        m = np.array([[0.9, 0.1, 3.0], [-0.08, 1.05, -2.0]])
+        ref = cv2.warpAffine(img, m, (72, 60), borderValue=(135, 133, 132))
+        out = warp_affine_native(img, m, (72, 60),
+                                 border_value=(135, 133, 132))
+        # cv2 uses 5-bit fixed-point interpolation; float path is exacter
+        assert np.abs(ref.astype(int) - out.astype(int)).max() <= 1
+        # float single-channel
+        f = rng.random((32, 32), dtype=np.float32)
+        np.testing.assert_allclose(
+            warp_affine_native(f, m, (32, 32)),
+            cv2.warpAffine(f, m, (32, 32)), atol=1e-4)
+
+    def test_helper_warp_without_cv2(self, rng, monkeypatch):
+        from comfyui_keep_tpu.facelib import helper
+        if helper._warp_affine(np.zeros((4, 4), np.float32),
+                               np.eye(2, 3), (4, 4)) is None:
+            pytest.skip("native lib unavailable")
+        monkeypatch.setattr(helper, "_HAVE_CV2", False)
+        img = (rng.random((32, 32, 3)) * 255).astype(np.uint8)
+        m = np.array([[1.1, 0.0, -2.0], [0.0, 0.9, 1.0]])
+        out = helper._warp_affine(img, m, (32, 32),
+                                  border_value=(135, 133, 132))
+        assert out.shape == (32, 32, 3) and out.dtype == np.uint8
