@@ -124,3 +124,22 @@ def test_logger_and_misc(tmp_path):
     assert "JAX" in get_env_info()
     assert sizeof_fmt(2048) == "2.0 KB"
     set_random_seed(3)
+
+
+def test_shipped_option_files_parse_and_resolve():
+    """The example YAMLs in options/ must parse and reference registered
+    model types and datasets."""
+    import glob
+    import yaml
+    import comfyui_keep_tpu.training.trainers  # noqa: F401
+    import comfyui_keep_tpu.data.datasets  # noqa: F401
+    from comfyui_keep_tpu.utils.registry import (DATASET_REGISTRY,
+                                                 MODEL_REGISTRY)
+    files = glob.glob(os.path.join(os.path.dirname(__file__), "..",
+                                   "options", "*.yml"))
+    assert files
+    for f in files:
+        opt = yaml.safe_load(open(f))
+        assert MODEL_REGISTRY.get(opt["model_type"]) is not None
+        for ds in opt.get("datasets", {}).values():
+            assert DATASET_REGISTRY.get(ds["type"]) is not None
