@@ -37,11 +37,14 @@ def main():
     out = fn(params, gm, x)
     np.asarray(out[0, -1, 0, 0, 0])  # force full execution (tunnel-safe)
 
-    iters = 3
+    # throughput timing: enqueue all clips, force completion once at the end
+    # (serving queues clips back-to-back; per-clip fetch would bill the
+    # tunnel round-trip per iteration)
+    iters = 6
     start = time.perf_counter()
     for _ in range(iters):
         out = fn(params, gm, x)
-        np.asarray(out[0, -1, 0, 0, 0])
+    np.asarray(out[0, -1, 0, 0, 0])
     elapsed = time.perf_counter() - start
 
     faces_per_sec = b * t * iters / elapsed

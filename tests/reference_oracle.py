@@ -141,7 +141,7 @@ def _install_stubs_arch_util():
         sys.modules["torchvision"] = tv
         sys.modules["torchvision.ops"] = tv.ops
 
-    if "wm_basicsr.ops" not in sys.modules:
+    if "wm_basicsr.ops.dcn" not in sys.modules:
         class ModulatedDeformConvPack(nn.Module):
             def __init__(self, in_channels, out_channels, kernel_size,
                          stride=1, padding=0, dilation=1, groups=1,
