@@ -391,18 +391,18 @@ class GMFlow:
         }
 
     @staticmethod
-    def apply(params, img0, img1, attn_splits: int = 2, corr_radius: int = -1,
-              prop_radius: int = -1):
-        """img0/img1: (B, H, W, 3) in [0, 255]. Returns flow (B, H, W, 2) at
-        full resolution (img0 -> img1 displacement)."""
-        mean = jnp.asarray(IMAGENET_MEAN, img0.dtype)
-        std = jnp.asarray(IMAGENET_STD, img0.dtype)
-        img0 = (img0 / 255.0 - mean) / std
-        img1 = (img1 / 255.0 - mean) / std
-        b = img0.shape[0]
-        feats = backbone_apply(params["backbone"],
-                               jnp.concatenate([img0, img1], axis=0))
-        f0, f1 = feats[:b], feats[b:]
+    def extract_features(params, imgs):
+        """ImageNet-normalize (B, H, W, 3) [0, 255] frames and run the
+        per-image backbone (the only stage with no cross-pair interaction)."""
+        mean = jnp.asarray(IMAGENET_MEAN, imgs.dtype)
+        std = jnp.asarray(IMAGENET_STD, imgs.dtype)
+        return backbone_apply(params["backbone"], (imgs / 255.0 - mean) / std)
+
+    @staticmethod
+    def flow_from_features(params, f0, f1, attn_splits: int = 2,
+                           corr_radius: int = -1, prop_radius: int = -1):
+        """Pair stages: transformer + correlation softmax + flow attention +
+        convex upsample on precomputed backbone features."""
         f0, f1 = add_position(f0, f1, attn_splits, GMFlow.FEATURE_CHANNELS)
         f0, f1 = transformer_apply(params["transformer"], f0, f1, attn_splits)
         if corr_radius == -1:
@@ -415,6 +415,18 @@ class GMFlow:
         return upsample_flow_convex(params["upsampler"], flow, f0,
                                     GMFlow.UPSAMPLE_FACTOR)
 
+    @staticmethod
+    def apply(params, img0, img1, attn_splits: int = 2, corr_radius: int = -1,
+              prop_radius: int = -1):
+        """img0/img1: (B, H, W, 3) in [0, 255]. Returns flow (B, H, W, 2) at
+        full resolution (img0 -> img1 displacement)."""
+        b = img0.shape[0]
+        feats = GMFlow.extract_features(
+            params, jnp.concatenate([img0, img1], axis=0))
+        return GMFlow.flow_from_features(params, feats[:b], feats[b:],
+                                         attn_splits, corr_radius,
+                                         prop_radius)
+
 
 def flow_from_clip(params, x, chunk: Optional[int] = None):
     """FlowGenerator-equivalent (gmflow_arch.py:10-66) for KEEP:
@@ -423,9 +435,13 @@ def flow_from_clip(params, x, chunk: Optional[int] = None):
     keep_arch.py:976-986 (flownet(x_2, x_1))."""
     b, t, h, w, _ = x.shape
     x255 = (x + 1.0) * 0.5 * 255.0
-    img0 = x255[:, 1:].reshape(b * (t - 1), h, w, 3)
-    img1 = x255[:, :-1].reshape(b * (t - 1), h, w, 3)
-    flow = GMFlow.apply(params, img0, img1)
+    # backbone once per frame (t passes, not 2*(t-1)): consecutive pairs
+    # share frames, and the backbone has no cross-pair interaction
+    feats = GMFlow.extract_features(params, x255.reshape(b * t, h, w, 3))
+    feats = feats.reshape((b, t) + feats.shape[1:])
+    f0 = feats[:, 1:].reshape((b * (t - 1),) + feats.shape[2:])
+    f1 = feats[:, :-1].reshape((b * (t - 1),) + feats.shape[2:])
+    flow = GMFlow.flow_from_features(params, f0, f1)
     return jax.lax.stop_gradient(flow.reshape(b, t - 1, h, w, 2))
 
 
