@@ -247,3 +247,28 @@ def build_loss(opt: Dict, **extra):
     opt = dict(opt)
     loss_type = opt.pop("type")
     return LOSS_REGISTRY.get(loss_type)(**opt, **extra)
+
+
+def get_local_weights(residual, ksize: int):
+    """LDL pixel-level artifact weights: unbiased local variance of the
+    residual over a ksize window with reflect padding (loss_util.py:99-119).
+    residual: (B, H, W, 1) NHWC."""
+    pad = (ksize - 1) // 2
+    rp = jnp.pad(residual, ((0, 0), (pad, pad), (pad, pad), (0, 0)),
+                 mode="reflect")
+    # extract all ksize*ksize shifted views and compute variance across them
+    patches = jnp.stack([
+        rp[:, dy:dy + residual.shape[1], dx:dx + residual.shape[2], :]
+        for dy in range(ksize) for dx in range(ksize)], axis=-1)
+    return jnp.var(patches, axis=-1, ddof=1)
+
+
+def get_refined_artifact_map(img_gt, img_output, img_ema, ksize: int):
+    """LDL artifact map (CVPR 2022; loss_util.py:121-147). NHWC images ->
+    (B, H, W, 1) weights; zero where the EMA model already fits better."""
+    residual_ema = jnp.sum(jnp.abs(img_gt - img_ema), axis=-1, keepdims=True)
+    residual_sr = jnp.sum(jnp.abs(img_gt - img_output), axis=-1, keepdims=True)
+    patch_level = jnp.var(residual_sr, axis=(1, 2, 3), ddof=1,
+                          keepdims=True) ** (1 / 5)
+    overall = patch_level * get_local_weights(residual_sr, ksize)
+    return jnp.where(residual_sr < residual_ema, 0.0, overall)

@@ -223,3 +223,53 @@ def test_test_pipeline(tmp_path, rng):
     }
     res = test_pipeline(opt)
     assert "toy" in res and np.isfinite(res["toy"]["psnr"])
+
+
+class TestDataUtil:
+    def test_generate_frame_indices_reference_examples(self):
+        from comfyui_keep_tpu.data.util import generate_frame_indices
+        # documented examples (data_util.py:52-59), crt_idx=0, num_frames=5,
+        # max_frame_num=100
+        assert generate_frame_indices(0, 100, 5, "replicate") == [0, 0, 0, 1, 2]
+        assert generate_frame_indices(0, 100, 5, "reflection") == [2, 1, 0, 1, 2]
+        assert generate_frame_indices(0, 100, 5, "reflection_circle") == \
+            [4, 3, 0, 1, 2]
+        assert generate_frame_indices(0, 100, 5, "circle") == [3, 4, 0, 1, 2]
+        # right border, reflection
+        assert generate_frame_indices(99, 100, 3, "reflection") == [98, 99, 98]
+
+    def test_paired_paths_and_read_seq(self, tmp_path, rng):
+        from comfyui_keep_tpu.data.util import (paired_paths_from_folder,
+                                                read_img_seq)
+        lq, gt = tmp_path / "lq", tmp_path / "gt"
+        lq.mkdir(), gt.mkdir()
+        for i in range(3):
+            img = (rng.random((8, 8, 3)) * 255).astype(np.uint8)
+            cv2.imwrite(str(lq / f"f{i}.png"), img)
+            cv2.imwrite(str(gt / f"f{i}.png"), img)
+        paths = paired_paths_from_folder([str(lq), str(gt)], ["lq", "gt"],
+                                         "{}")
+        assert len(paths) == 3 and "lq_path" in paths[0]
+        seq, names = read_img_seq(str(gt), return_imgname=True)
+        assert seq.shape == (3, 8, 8, 3) and names == ["f0", "f1", "f2"]
+        assert 0.0 <= seq.min() and seq.max() <= 1.0
+
+    def test_duf_downsample_matches_reference(self, rng):
+        import torch
+        import torch.nn.functional as F
+        from comfyui_keep_tpu.data.util import (duf_downsample,
+                                                generate_gaussian_kernel)
+        x = rng.random((1, 2, 32, 32, 3)).astype(np.float32)
+        ours = np.asarray(duf_downsample(x, scale=4))
+        # reference implementation (data_util.py:285-317) inline, torch CHW
+        xt = torch.from_numpy(x.transpose(0, 1, 4, 2, 3))
+        b, t, c, h, w = xt.size()
+        xt = xt.reshape(-1, 1, h, w)
+        pad = 13 // 2 + 4 * 2
+        xt = F.pad(xt, (pad, pad, pad, pad), "reflect")
+        gk = torch.from_numpy(
+            generate_gaussian_kernel(13, 1.6)).float()[None, None]
+        y = F.conv2d(xt, gk, stride=4)[:, :, 2:-2, 2:-2]
+        ref = y.reshape(b, t, c, y.size(2), y.size(3)).numpy()
+        np.testing.assert_allclose(ours, ref.transpose(0, 1, 3, 4, 2),
+                                   atol=1e-5, rtol=1e-5)

@@ -254,3 +254,28 @@ class TestVideoRecurrentFixFlow:
         moved = jax.tree.leaves(jax.tree.map(
             lambda a, b: not np.allclose(a, b), p1, p2))
         assert any(moved)
+
+
+def test_ldl_artifact_map_parity(rng):
+    """get_refined_artifact_map vs the reference loss_util.py:99-147."""
+    import torch.nn.functional as F
+    from comfyui_keep_tpu.training.losses import get_refined_artifact_map
+    gt = rng.random((2, 12, 12, 3)).astype(np.float32)
+    out = rng.random((2, 12, 12, 3)).astype(np.float32)
+    ema = rng.random((2, 12, 12, 3)).astype(np.float32)
+    ours = np.asarray(get_refined_artifact_map(
+        jnp.asarray(gt), jnp.asarray(out), jnp.asarray(ema), 7))
+
+    def t(a):
+        return torch.from_numpy(a.transpose(0, 3, 1, 2))
+    res_ema = torch.sum(torch.abs(t(gt) - t(ema)), 1, keepdim=True)
+    res_sr = torch.sum(torch.abs(t(gt) - t(out)), 1, keepdim=True)
+    plw = torch.var(res_sr.clone(), dim=(-1, -2, -3), keepdim=True) ** (1 / 5)
+    rp = F.pad(res_sr.clone(), pad=[3] * 4, mode="reflect")
+    uf = rp.unfold(2, 7, 1).unfold(3, 7, 1)
+    pxw = torch.var(uf, dim=(-1, -2), unbiased=True,
+                    keepdim=True).squeeze(-1).squeeze(-1)
+    ref = plw * pxw
+    ref[res_sr < res_ema] = 0
+    np.testing.assert_allclose(ours[..., 0], ref.numpy()[:, 0],
+                               atol=1e-5, rtol=1e-4)
