@@ -83,6 +83,9 @@ def train_pipeline(opt: Dict, max_iters: Optional[int] = None, use_mesh=True,
             data_timer.record()
             batch_arrays = {k: v for k, v in batch.items()
                             if not isinstance(v, list)}
+            if hasattr(trainer, "feed_data"):
+                # on-device synthesis feed (RealESRGAN-style trainers)
+                batch_arrays = trainer.feed_data(batch_arrays)
             state, logs = trainer.train_step(state, batch_arrays)
             iter_timer.record()
             if state.iter % print_freq == 0:

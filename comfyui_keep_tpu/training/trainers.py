@@ -494,11 +494,61 @@ class SRGANTrainer(SRTrainer):
         return state, {k: float(v) for k, v in logs.items()}
 
 
+class _RealESRGANFeed:
+    """Shared on-device two-order degradation feed
+    (models/realesrgan_model.py:25-186 / realesrnet_model.py). Degradation
+    hyperparameters are read from the top-level opt (reference yml layout:
+    resize_prob, resize_range, gaussian_noise_prob, noise_range,
+    poisson_scale_range, gray_noise_prob, jpeg_range, second_blur_prob,
+    *2 variants, gt_size, scale, queue_size)."""
+
+    def _init_feed(self, opt):
+        from comfyui_keep_tpu.training.realesrgan_feed import TrainingPairPool
+        self._degrade_opt = opt
+        self._pool = TrainingPairPool(opt.get("queue_size", 180))
+        self._feed_counter = 0
+        self._l1_gt_usm = opt.get("l1_gt_usm", True)
+
+    def feed_data(self, batch):
+        """Synthesize the LQ on device when the batch carries blur kernels
+        (RealESRGANDataset); paired/val batches pass through unchanged."""
+        if "kernel1" not in batch:
+            return batch
+        import jax
+        from comfyui_keep_tpu.training.realesrgan_feed import \
+            realesrgan_synthesize
+        self._feed_counter += 1
+        out = realesrgan_synthesize(batch, self._degrade_opt,
+                                    jax.random.PRNGKey(self._feed_counter),
+                                    pool=self._pool)
+        gt = out["gt_usm"] if self._l1_gt_usm else out["gt"]
+        return {"lq": out["lq"], "gt": gt, "gt_raw": out["gt"],
+                "gt_usm": out["gt_usm"]}
+
+
+@MODEL_REGISTRY.register(name="RealESRNetModel")
+class RealESRNetTrainer(_RealESRGANFeed, SRTrainer):
+    """RealESRNet: pixel-only training on synthesized pairs
+    (models/realesrnet_model.py)."""
+
+    def __init__(self, opt, mesh=None, feature_fn=None):
+        SRTrainer.__init__(self, opt, mesh=mesh, feature_fn=feature_fn)
+        self._init_feed(opt)
+
+
+@MODEL_REGISTRY.register(name="RealESRGANModel")
+class RealESRGANTrainer(_RealESRGANFeed, SRGANTrainer):
+    """RealESRGAN: the same synthesis + GAN training
+    (models/realesrgan_model.py)."""
+
+    def __init__(self, opt, mesh=None, feature_fn=None):
+        SRGANTrainer.__init__(self, opt, mesh=mesh, feature_fn=feature_fn)
+        self._init_feed(opt)
+
+
 # model-type aliases: the reference registers a wrapper class per family
 # (models/*.py, SURVEY §2.7); these share the trainers above.
-MODEL_REGISTRY.register(SRTrainer, name="RealESRNetModel")
 MODEL_REGISTRY.register(SRGANTrainer, name="ESRGANModel")
-MODEL_REGISTRY.register(SRGANTrainer, name="RealESRGANModel")
 MODEL_REGISTRY.register(SRTrainer, name="SwinIRModel")
 
 

@@ -104,3 +104,87 @@ class TestStyleGAN2Trainer:
         # lazy regularization fires on reg_every multiples
         assert np.isfinite(logs["l_d_r1"]) and np.isfinite(logs["l_g_path"])
         assert tr.mean_path_length > 0 or logs["l_g_path"] >= 0
+
+
+class TestRealESRGANFeed:
+    OPT = dict(scale=2, gt_size=32, queue_size=4,
+               resize_prob=[0.2, 0.7, 0.1], resize_range=[0.5, 1.5],
+               gaussian_noise_prob=0.5, noise_range=[1, 10],
+               poisson_scale_range=[0.05, 1.0], gray_noise_prob=0.4,
+               jpeg_range=[60, 95], second_blur_prob=0.8,
+               resize_prob2=[0.3, 0.4, 0.3], resize_range2=[0.3, 1.2],
+               gaussian_noise_prob2=0.5, noise_range2=[1, 10],
+               poisson_scale_range2=[0.05, 1.0], gray_noise_prob2=0.4,
+               jpeg_range2=[60, 95])
+
+    def _batch(self, rng, b=2, hw=64):
+        from comfyui_keep_tpu.data.degradations import random_mixed_kernels
+        k = np.stack([np.pad(random_mixed_kernels(
+            ["iso"], [1.0], 7, [0.5, 2], [0.5, 2]), 7) for _ in range(b)])
+        return {"gt": rng.random((b, hw, hw, 3)).astype(np.float32),
+                "kernel1": k.astype(np.float32),
+                "kernel2": k.astype(np.float32),
+                "sinc_kernel": k.astype(np.float32)}
+
+    def test_synthesize_shapes_and_ranges(self, rng):
+        from comfyui_keep_tpu.training.realesrgan_feed import (
+            TrainingPairPool, realesrgan_synthesize)
+        np.random.seed(0)
+        pool = TrainingPairPool(4)
+        out = realesrgan_synthesize(self._batch(rng), self.OPT,
+                                    jax.random.PRNGKey(0), pool=pool)
+        assert out["gt"].shape == (2, 32, 32, 3)
+        assert out["lq"].shape == (2, 16, 16, 3)
+        assert out["gt_usm"].shape == (2, 32, 32, 3)
+        assert float(jnp.min(out["lq"])) >= 0 and float(jnp.max(out["lq"])) <= 1
+
+    def test_realesrgan_trainer_step(self, rng):
+        np.random.seed(1)
+        opt = {"model_type": "RealESRGANModel",
+               "network_g": {"type": "MSRResNet", "num_feat": 8,
+                             "num_block": 1, "upscale": 2},
+               "network_d": {"type": "UNetDiscriminatorSN",
+                             "num_in_ch": 3, "num_feat": 8},
+               "train": {"pixel_opt": {"type": "L1Loss"},
+                         "gan_opt": {"type": "GANLoss", "gan_type": "vanilla",
+                                     "loss_weight": 0.1},
+                         "optim_g": {"type": "Adam", "lr": 1e-4},
+                         "optim_d": {"type": "Adam", "lr": 1e-4}},
+               **self.OPT}
+        tr = build_model(opt)
+        state = tr.make_state(jax.random.PRNGKey(0))
+        batch = tr.feed_data(self._batch(rng, b=2, hw=64))
+        assert batch["lq"].shape == (2, 16, 16, 3)
+        state, logs = tr.gan_train_step(state, batch, current_iter=1)
+        assert all(np.isfinite(v) for v in logs.values())
+
+
+def test_realesrgan_feed_primitives_torch_parity(rng):
+    """filter2d / bicubic / area resize vs torch (the on-device synthesis
+    building blocks, img_process_util.py filter2D + F.interpolate)."""
+    import torch
+    import torch.nn.functional as F
+    from comfyui_keep_tpu.training.realesrgan_feed import (filter2d,
+                                                           resize_torch)
+    img = rng.random((2, 16, 16, 3)).astype(np.float32)
+    ker = rng.random((2, 5, 5)).astype(np.float32)
+    ker /= ker.sum(axis=(1, 2), keepdims=True)
+    ours = np.asarray(filter2d(jnp.asarray(img), jnp.asarray(ker)))
+    t = torch.from_numpy(img.transpose(0, 3, 1, 2))
+    b, c, h, w = t.size()
+    tp = F.pad(t, (2, 2, 2, 2), mode="reflect").reshape(1, b * c, h + 4, w + 4)
+    kk = torch.from_numpy(ker).view(b, 1, 5, 5).repeat(1, c, 1, 1)
+    ref = F.conv2d(tp, kk.reshape(b * c, 1, 5, 5),
+                   groups=b * c).reshape(b, c, h, w).numpy()
+    np.testing.assert_allclose(ours, ref.transpose(0, 2, 3, 1), atol=1e-6)
+
+    x = rng.random((1, 17, 23, 3)).astype(np.float32)
+    for mode, tol in [("bicubic", 2e-5), ("area", 2e-6)]:
+        for oh, ow in [(9, 12), (34, 46)] if mode == "bicubic" else [(9, 12)]:
+            ref = F.interpolate(torch.from_numpy(x.transpose(0, 3, 1, 2)),
+                                size=(oh, ow), mode=mode,
+                                **({"align_corners": False}
+                                   if mode == "bicubic" else {})).numpy()
+            ours = np.asarray(resize_torch(jnp.asarray(x), (oh, ow), mode))
+            np.testing.assert_allclose(ours, ref.transpose(0, 2, 3, 1),
+                                       atol=tol, rtol=1e-3)
