@@ -89,3 +89,44 @@ def test_trainer_dp_mesh_step(rng):
     # works and produces a single global param update
     state, logs2 = tr.train_step(state, batch)
     assert np.isfinite(logs2["l_pix"])
+
+
+def test_ring_carry_pipeline_matches_host_streaming(rng):
+    """parallel/sequence.py: carried-state pipeline over the 'seq' mesh axis
+    == host-side carried-chunk streaming (SURVEY §5.7 ring-pass of the
+    recurrent state over the mesh)."""
+    import jax
+    import jax.numpy as jnp
+    from jax.sharding import Mesh
+    from comfyui_keep_tpu.models.keep import KEEP
+    from comfyui_keep_tpu.parallel.sequence import restore_stream_pipeline
+
+    tiny = dict(img_size=64, nf=32, ch_mult=(1, 2), res_blocks=1,
+                attn_resolutions=(32,), codebook_size=32, emb_dim=32,
+                dim_embd=32, n_head=4, n_layers=1, latent_size=1024,
+                cft_list=("64",), cfa_list=("32",), cfa_nhead=2, cfa_dim=8,
+                kalman_attn_head_dim=8, num_uncertainty_layers=1,
+                temp_reg_list=())
+    params = KEEP.init(jax.random.PRNGKey(0), **tiny)
+    n_dev = 4
+    mesh = Mesh(np.array(jax.devices()[:n_dev]), ("seq",))
+    n_clips, b, tc = 2, 1, 2
+    t = n_dev * tc
+    clips = jnp.asarray(rng.standard_normal(
+        (n_clips, b, t, 64, 64, 3), dtype=np.float32) * 0.3)
+
+    out = restore_stream_pipeline(params, tiny, clips, mesh)
+    assert out.shape == clips.shape
+
+    # host-side reference: carried-chunk streaming per clip
+    for n in range(n_clips):
+        res0, carry = KEEP.apply(params, clips[n, :, :tc],
+                                 return_carry=True, **tiny)
+        expected = [np.asarray(res0)]
+        for d in range(1, n_dev):
+            res, carry = KEEP.apply(params, clips[n, :, d * tc:(d + 1) * tc],
+                                    carry=carry, return_carry=True, **tiny)
+            expected.append(np.asarray(res))
+        np.testing.assert_allclose(np.asarray(out[n]),
+                                   np.concatenate(expected, axis=1),
+                                   atol=1e-5, rtol=1e-5)
