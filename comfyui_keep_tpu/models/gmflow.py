@@ -52,27 +52,43 @@ def _rb_apply(p, x, stride):
     return relu(x + y)
 
 
-def backbone_init(key, output_dim=128):
+def backbone_init(key, output_dim=128, num_output_scales=1):
+    """CNNEncoder (backbone.py:39-117). With num_output_scales > 1, layer3
+    keeps stride 1 (highest res 1/4) and a shared-weight trident conv
+    (trident_conv.py:10-89) emits one output per stride (1, 2, ...)."""
     dims = (64, 96, 128)
-    ks = jax.random.split(key, 8)
-    return {
+    ks = jax.random.split(key, 9)
+    s3 = 2 if num_output_scales == 1 else 1
+    p = {
         "conv1": {"w": conv2d_init(ks[0], 7, 7, 3, dims[0], bias=False)["w"]},
         "layer1": [_rb_init(ks[1], dims[0], dims[0], 1), _rb_init(ks[2], dims[0], dims[0], 1)],
         "layer2": [_rb_init(ks[3], dims[0], dims[1], 2), _rb_init(ks[4], dims[1], dims[1], 1)],
-        "layer3": [_rb_init(ks[5], dims[1], dims[2], 2), _rb_init(ks[6], dims[2], dims[2], 1)],
+        "layer3": [_rb_init(ks[5], dims[1], dims[2], s3), _rb_init(ks[6], dims[2], dims[2], 1)],
         "conv2": conv2d_init(ks[7], 1, 1, dims[2], output_dim),
     }
+    if num_output_scales > 1:
+        p["trident_conv"] = {"w": conv2d_init(
+            ks[8], 3, 3, output_dim, output_dim, bias=False)["w"]}
+    return p
 
 
-def backbone_apply(p, x):
+def backbone_apply(p, x, num_output_scales=1):
+    """Returns a single (B, h, w, C) feature map (scales == 1, the KEEP
+    path) or a high-to-low-res list of maps from the shared trident conv."""
+    s3 = 2 if num_output_scales == 1 else 1
     x = relu(instance_norm(conv2d(x, p["conv1"]["w"], stride=2, padding=3)))
     x = _rb_apply(p["layer1"][0], x, 1)
     x = _rb_apply(p["layer1"][1], x, 1)
     x = _rb_apply(p["layer2"][0], x, 2)
     x = _rb_apply(p["layer2"][1], x, 1)
-    x = _rb_apply(p["layer3"][0], x, 2)
+    x = _rb_apply(p["layer3"][0], x, s3)
     x = _rb_apply(p["layer3"][1], x, 1)
-    return conv2d(x, p["conv2"]["w"], p["conv2"]["b"])
+    x = conv2d(x, p["conv2"]["w"], p["conv2"]["b"])
+    if num_output_scales == 1:
+        return x
+    strides = {2: (1, 2), 3: (1, 2, 4), 4: (1, 2, 4, 8)}[num_output_scales]
+    return [conv2d(x, p["trident_conv"]["w"], stride=s, padding=1)
+            for s in strides]
 
 
 # ---------------------------------------------------------------------------
@@ -381,10 +397,11 @@ class GMFlow:
     UPSAMPLE_FACTOR = 8
 
     @staticmethod
-    def init(key, feature_channels=128, num_layers=6):
+    def init(key, feature_channels=128, num_layers=6, num_scales=1):
         ks = jax.random.split(key, 4)
         return {
-            "backbone": backbone_init(ks[0], feature_channels),
+            "backbone": backbone_init(ks[0], feature_channels,
+                                      num_output_scales=num_scales),
             "transformer": transformer_init(ks[1], feature_channels, num_layers),
             "feature_flow_attn": flow_attn_init(ks[2], feature_channels),
             "upsampler": upsampler_init(ks[3], feature_channels),
@@ -412,6 +429,55 @@ class GMFlow:
         flow = flow_attention(params["feature_flow_attn"], f0,
                               jax.lax.stop_gradient(flow),
                               local_window_radius=prop_radius)
+        return upsample_flow_convex(params["upsampler"], flow, f0,
+                                    GMFlow.UPSAMPLE_FACTOR)
+
+
+    @staticmethod
+    def apply_refine(params, img0, img1, attn_splits_list=(2, 8),
+                     corr_radius_list=(-1, 4), prop_radius_list=(-1, 1),
+                     num_scales: int = 2, pred_bidir_flow: bool = False):
+        """Multi-scale refinement forward (gmflow.py:92-170, the
+        'gmflow_with_refine' variant): residual flow across scales, feature1
+        warped by the upsampled coarse flow; optional bidirectional flow
+        (forward batch followed by backward batch). Requires params built
+        with backbone num_output_scales == num_scales."""
+        from comfyui_keep_tpu.ops import flow_warp
+        b = img0.shape[0]
+        mean = jnp.asarray(IMAGENET_MEAN, img0.dtype)
+        std = jnp.asarray(IMAGENET_STD, img0.dtype)
+        imgs = (jnp.concatenate([img0, img1], axis=0) / 255.0 - mean) / std
+        feats = backbone_apply(params["backbone"], imgs,
+                               num_output_scales=num_scales)[::-1]  # low->high
+        flow = None
+        for si in range(num_scales):
+            f0, f1 = feats[si][:b], feats[si][b:]
+            if pred_bidir_flow:
+                # fwd + bwd as one doubled batch; the reference instead
+                # transposes the scale-0 correlation (matching.py bidir) —
+                # same math, different accumulation order
+                f0, f1 = (jnp.concatenate([f0, f1], axis=0),
+                          jnp.concatenate([f1, f0], axis=0))
+            if si > 0:
+                hw = (flow.shape[1] * 2, flow.shape[2] * 2)
+                flow = resize_bilinear(flow, hw, align_corners=True) * 2
+            if flow is not None:
+                flow = jax.lax.stop_gradient(flow)
+                f1 = flow_warp(f1, flow)
+            attn_splits = attn_splits_list[si]
+            corr_radius = corr_radius_list[si]
+            prop_radius = prop_radius_list[si]
+            f0, f1 = add_position(f0, f1, attn_splits, GMFlow.FEATURE_CHANNELS)
+            f0, f1 = transformer_apply(params["transformer"], f0, f1,
+                                       attn_splits)
+            if corr_radius == -1:
+                flow_pred, _ = global_correlation_softmax(f0, f1)
+            else:
+                flow_pred, _ = local_correlation_softmax(f0, f1, corr_radius)
+            flow = flow + flow_pred if flow is not None else flow_pred
+            flow = flow_attention(params["feature_flow_attn"], f0,
+                                  jax.lax.stop_gradient(flow),
+                                  local_window_radius=prop_radius)
         return upsample_flow_convex(params["upsampler"], flow, f0,
                                     GMFlow.UPSAMPLE_FACTOR)
 
