@@ -516,3 +516,20 @@ def convert_gmflow_checkpoint(sd):
     i.e. 'backbone.conv1.weight', ...) -> param tree."""
     from comfyui_keep_tpu.utils.checkpoint import convert_state_dict
     return convert_state_dict(sd)
+
+
+def forward_backward_consistency_check(fwd_flow, bwd_flow, alpha: float = 0.01,
+                                       beta: float = 0.5):
+    """Occlusion masks from bidirectional flow (geometry.py:96-118, UnFlow
+    thresholds). fwd/bwd flow: (B, H, W, 2) -> (fwd_occ, bwd_occ) (B, H, W)
+    in {0, 1}."""
+    from comfyui_keep_tpu.ops import flow_warp
+    mag = (jnp.linalg.norm(fwd_flow, axis=-1) +
+           jnp.linalg.norm(bwd_flow, axis=-1))
+    warped_bwd = flow_warp(bwd_flow, fwd_flow)
+    warped_fwd = flow_warp(fwd_flow, bwd_flow)
+    diff_fwd = jnp.linalg.norm(fwd_flow + warped_bwd, axis=-1)
+    diff_bwd = jnp.linalg.norm(bwd_flow + warped_fwd, axis=-1)
+    thr = alpha * mag + beta
+    return ((diff_fwd > thr).astype(fwd_flow.dtype),
+            (diff_bwd > thr).astype(bwd_flow.dtype))

@@ -146,3 +146,22 @@ def test_multiscale_refine_parity(ref_gmflow, rng):
                                   prop_radius_list=(-1, 1), num_scales=2)
     np.testing.assert_allclose(np.asarray(oursb[1:]), np.asarray(swapped),
                                atol=1e-5, rtol=1e-5)
+
+
+def test_forward_backward_consistency_parity(rng):
+    """Occlusion masks bit-match the reference geometry.py:96-118."""
+    import sys
+    if GMFLOW_PKG_DIR not in sys.path:
+        sys.path.insert(0, GMFLOW_PKG_DIR)
+    from gmflow import geometry as G
+    from comfyui_keep_tpu.models.gmflow import (
+        forward_backward_consistency_check)
+    f = rng.standard_normal((2, 16, 16, 2), dtype=np.float32) * 3
+    b = rng.standard_normal((2, 16, 16, 2), dtype=np.float32) * 3
+    fo, bo = forward_backward_consistency_check(jnp.asarray(f),
+                                                jnp.asarray(b))
+    rf, rb = G.forward_backward_consistency_check(
+        torch.tensor(f.transpose(0, 3, 1, 2)),
+        torch.tensor(b.transpose(0, 3, 1, 2)))
+    np.testing.assert_array_equal(np.asarray(fo), rf.numpy())
+    np.testing.assert_array_equal(np.asarray(bo), rb.numpy())
