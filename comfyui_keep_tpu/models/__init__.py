@@ -21,6 +21,7 @@ from comfyui_keep_tpu.models import inception  # noqa: F401
 from comfyui_keep_tpu.models import hifacegan  # noqa: F401
 from comfyui_keep_tpu.models import dfdnet  # noqa: F401
 from comfyui_keep_tpu.models import stylegan2_bilinear  # noqa: F401
+from comfyui_keep_tpu.models import bisenet  # noqa: F401
 from comfyui_keep_tpu.facelib import yolov5face  # noqa: F401
 
 
