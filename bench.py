@@ -25,6 +25,9 @@ def main():
     cfg = KEEP.config("KEEP")
     params = jax.jit(lambda k: KEEP.init(k, **cfg))(jax.random.PRNGKey(0))
     params = jax.tree.map(lambda a: a.astype(dtype), params)
+    if os.environ.get("KEEP_TPU_NO_PHASE512") != "1":
+        # phase-packed 512-level conv stacks (ops/phase_pack.py)
+        params = KEEP.prepare_phase512(params, **cfg)
     gm = jax.jit(GMFlow.init)(jax.random.PRNGKey(2))
     gm = jax.tree.map(lambda a: a.astype(dtype), gm)
     b, t = 1, 20

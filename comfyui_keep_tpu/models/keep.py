@@ -192,6 +192,33 @@ class KEEP:
         }
         return params
 
+    @staticmethod
+    def prepare_phase512(params, **cfg):
+        """Serving-time weight prep: pack the 512-level conv stacks of the
+        encoders (and the generator tail when no CFT/CFA/temp fusion taps
+        land inside it) for phase-packed execution (ops/phase_pack.py).
+        apply() auto-detects prepared params. Do NOT train on prepared
+        params — gradients must reach the canonical weights."""
+        from comfyui_keep_tpu.models.vqgan import (phase512_prepare,
+                                                   phase512_generator_start)
+        cfg = {**DEFAULT_CFG, **cfg}
+        if cfg["img_size"] != 512:
+            return params
+        enc_plan, gen_plan = _plans(cfg)
+        _, _, gen_tap = arch_tables(cfg)
+        out = dict(params)
+        out["encoder"] = phase512_prepare(params["encoder"], enc_plan, "encoder")
+        out["hq_encoder"] = phase512_prepare(params["hq_encoder"], enc_plan,
+                                             "encoder")
+        start = phase512_generator_start(gen_plan)
+        fuse = {gen_tap[f] for f in (tuple(cfg["cft_list"])
+                                     + tuple(cfg["cfa_list"])
+                                     + tuple(cfg["temp_reg_list"]))}
+        if start is not None and all(ix < start for ix in fuse):
+            out["generator"] = phase512_prepare(params["generator"], gen_plan,
+                                                "generator")
+        return out
+
     # -- forward pieces -----------------------------------------------------
 
     @staticmethod
@@ -222,8 +249,19 @@ class KEEP:
         x = quant_feat
         new_cfa = {}
         gen_feats = {}
-        from comfyui_keep_tpu.models.vqgan import _block_apply
-        for j, (spec, p) in enumerate(zip(gen_plan, params["generator"]["blocks"])):
+        from comfyui_keep_tpu.models.vqgan import (_block_apply,
+                                                   packed_generator_tail,
+                                                   phase512_generator_start)
+        gen_blocks = params["generator"]["blocks"]
+        tail = phase512_generator_start(gen_plan)
+        if tail is not None and "p512" not in gen_blocks[tail]:
+            tail = None
+        for j, (spec, p) in enumerate(zip(gen_plan, gen_blocks)):
+            if j == tail:
+                # phase-packed 512-level tail (no fusion taps land here for
+                # either model variant; phase512 prep checks this)
+                x = packed_generator_tail(params["generator"], gen_plan, x, j)
+                break
             x = _block_apply(spec, p, x)
             if j in cft_idx:
                 f = cft_idx[j]

@@ -164,13 +164,156 @@ def blocks_init(key, plan):
     return {"blocks": [_block_init(k, s) for k, s in zip(keys, plan)]}
 
 
+# ---------------------------------------------------------------------------
+# Phase-packed execution of the 512-level (serving-time; see ops/phase_pack)
+# ---------------------------------------------------------------------------
+
+def phase512_encoder_end(plan) -> Optional[int]:
+    """Index of the Downsample that exits the top (512) encoder level, if the
+    leading blocks are packable (conv/res only)."""
+    for i, s in enumerate(plan):
+        if s[0] == "down":
+            return i
+        if s[0] not in ("conv", "res"):
+            return None
+    return None
+
+
+def phase512_generator_start(plan) -> Optional[int]:
+    """Index of the final Upsample (into the 512 level), if the tail after it
+    is packable (res/norm/conv only)."""
+    ups = [i for i, s in enumerate(plan) if s[0] == "up"]
+    if not ups:
+        return None
+    start = ups[-1]
+    if all(s[0] in ("res", "norm", "conv") for s in plan[start + 1:]):
+        return start
+    return None
+
+
+def phase512_prepare(params, plan, kind: str):
+    """Host-side (numpy) weight packing for the 512-level region; returns a
+    new params tree with `p512` packed kernels alongside the originals.
+    Serving-time only — trainers keep the unpacked path (gradients must
+    reach the canonical weights)."""
+    from comfyui_keep_tpu.ops import phase_pack as pp
+    import numpy as np
+
+    if kind == "encoder":
+        end = phase512_encoder_end(plan)
+        rng = range(0, end + 1) if end is not None else range(0)
+    else:
+        start = phase512_generator_start(plan)
+        rng = range(start, len(plan)) if start is not None else range(0)
+
+    def _np(t):
+        return np.asarray(t)
+
+    blocks = list(params["blocks"])
+    for i in rng:
+        spec, p = plan[i], blocks[i]
+        if spec[0] == "conv":
+            w, b = pp.pack_conv3x3(_np(p["w"]), _np(p["b"]))
+            blocks[i] = {**p, "p512": {"w": w, "b": b}}
+        elif spec[0] == "res":
+            w1, b1 = pp.pack_conv3x3(_np(p["conv1"]["w"]), _np(p["conv1"]["b"]))
+            w2, b2 = pp.pack_conv3x3(_np(p["conv2"]["w"]), _np(p["conv2"]["b"]))
+            blocks[i] = {**p, "p512": {"conv1": {"w": w1, "b": b1},
+                                       "conv2": {"w": w2, "b": b2}}}
+        elif spec[0] == "down":
+            w, b = pp.pack_downsample3x3(_np(p["conv"]["w"]), _np(p["conv"]["b"]))
+            blocks[i] = {**p, "p512": {"w": w, "b": b}}
+        elif spec[0] == "up":
+            w, b = pp.pack_upconv3x3(_np(p["conv"]["w"]), _np(p["conv"]["b"]))
+            blocks[i] = {**p, "p512": {"w": w, "b": b}}
+        # "norm" uses its unpacked scale/bias directly
+        if "p512" in blocks[i]:
+            # device arrays, NOT numpy: numpy leaves re-upload host->HBM on
+            # every jitted call (catastrophic through the axon tunnel)
+            blocks[i]["p512"] = jax.tree.map(jnp.asarray, blocks[i]["p512"])
+    return {**params, "blocks": blocks}
+
+
+def _packed_res_block(p, x, parity: int, true_hw):
+    from comfyui_keep_tpu.ops import phase_pack as pp
+    h = pp.packed_group_norm(x, p["norm1"], true_hw, eps=GN_EPS,
+                             parity=parity, swish_after=True)
+    h = pp.packed_conv(h, p["p512"]["conv1"]["w"], p["p512"]["conv1"]["b"],
+                       parity)
+    h = pp.packed_group_norm(h, p["norm2"], true_hw, eps=GN_EPS,
+                             parity=1 - parity, swish_after=True)
+    h = pp.packed_conv(h, p["p512"]["conv2"]["w"], p["p512"]["conv2"]["b"],
+                       1 - parity)
+    if "conv_out" in p:
+        x = pp.packed_conv1x1(x, p["conv_out"]["w"], p["conv_out"]["b"],
+                              parity)
+    return x + h
+
+
+def _packed_encoder_prefix(params, plan, x, end: int, taps, tap_indices,
+                           remat: bool):
+    """Run blocks [0..end] (conv, res*, down) phase-packed; returns the
+    unpacked half-res feature map."""
+    from comfyui_keep_tpu.ops import phase_pack as pp
+    true_hw = (x.shape[-3], x.shape[-2])
+    x = pp.space_to_depth(x)
+    parity = 0
+    for i in range(end + 1):
+        spec, p = plan[i], params["blocks"][i]
+        if spec[0] == "conv":
+            x = pp.packed_conv(x, p["p512"]["w"], p["p512"]["b"], parity)
+            parity ^= 1
+        elif spec[0] == "res":
+            fn = _packed_res_block
+            if remat:
+                fn = jax.checkpoint(_packed_res_block, static_argnums=(2, 3))
+            x = fn(p, x, parity, true_hw)
+        else:  # down
+            x = pp.packed_downsample(x, p["p512"]["w"], p["p512"]["b"])
+        if tap_indices is not None and i in tap_indices:
+            taps[i] = x if spec[0] == "down" else pp.depth_to_space(x, parity)
+    return x
+
+
+def packed_generator_tail(params, plan, x, start: int):
+    """Run blocks [start..] (up, res*, norm, conv) phase-packed; returns the
+    unpacked full-res output."""
+    from comfyui_keep_tpu.ops import phase_pack as pp
+    true_hw = (x.shape[-3] * 2, x.shape[-2] * 2)
+    p = params["blocks"][start]
+    x = pp.packed_upconv(x, p["p512"]["w"], p["p512"]["b"])
+    parity = 1
+    for j in range(start + 1, len(plan)):
+        spec, p = plan[j], params["blocks"][j]
+        if spec[0] == "res":
+            x = _packed_res_block(p, x, parity, true_hw)
+        elif spec[0] == "norm":
+            x = pp.packed_group_norm(x, p, true_hw, eps=GN_EPS, parity=parity)
+        else:  # conv
+            x = pp.packed_conv(x, p["p512"]["w"], p["p512"]["b"], parity)
+            parity ^= 1
+    return pp.depth_to_space(x, parity=parity)
+
+
 def blocks_apply(params, plan, x, tap_indices: Optional[Sequence[int]] = None,
                  stop_index: Optional[int] = None, remat: bool = False):
     """Run the plan; optionally collect features AFTER blocks in tap_indices
     (matching the reference loop `for i, block in enumerate(blocks)` with
-    caching at keep_arch.py:1030-1039) and stop after stop_index."""
+    caching at keep_arch.py:1030-1039) and stop after stop_index.
+
+    If the leading 512-level blocks carry `p512` packed kernels (added by
+    phase512_prepare), that prefix runs phase-packed."""
     taps = {}
-    for i, (spec, p) in enumerate(zip(plan, params["blocks"])):
+    i0 = 0
+    first = params["blocks"][0] if params["blocks"] else None
+    if (isinstance(first, dict) and "p512" in first
+            and (stop_index is None or stop_index >= (phase512_encoder_end(plan) or 0))):
+        end = phase512_encoder_end(plan)
+        x = _packed_encoder_prefix(params, plan, x, end, taps, tap_indices,
+                                   remat)
+        i0 = end + 1
+    for i in range(i0, len(plan)):
+        spec, p = plan[i], params["blocks"][i]
         fn = _block_apply
         if remat and spec[0] in ("res", "attn"):
             fn = jax.checkpoint(_block_apply, static_argnums=(0,))

@@ -1,0 +1,232 @@
+"""Phase-packed (space-to-depth) execution of 3x3-conv stacks.
+
+The VQGAN encoder/generator spend most of their FLOPs in 3x3 convs at the
+512x512 level with only 64 output channels (vqgan_arch.py:246-343) — half
+the MXU's 128 lanes idle and measured throughput is ~23 TFLOP/s on v5e.
+Packing 2x2 pixel phases into channels turns each such conv into ONE 2x2
+conv at 256x256 with 4x the channels (measured ~60 TFLOP/s): every 3x3
+SAME conv maps *exactly* onto a 2x2 conv in phase space provided the output
+packing grid is shifted one pixel relative to the input's — so a chain of
+convs alternates packing parity and no high-resolution pixel interleave
+ever materializes (the cost that sank the naive phase decomposition, see
+docs/ROADMAP.md negative results).
+
+Geometry. A packed tensor at parity o∈{0,1} has coarse cells covering
+original rows {2i-o, 2i-o+1}; parity-0 tensors have H/2 cells (rows 0..H-1
+exactly), parity-1 tensors have H/2+1 cells whose first/last half-rows are
+the SAME-padding rows -1 and H and are kept ZERO (`mask_parity1`). Channel
+layout is phase-major: packed channel (qy*2+qx)*C + c.
+
+For a 3x3 SAME conv, output row 2j-o'+py reads input rows 2j-o'+py+dy-1;
+with o' = 1-o every read lands in coarse cells {j-1, j} (parity 0→1, pad
+coarse by 1 on each side) or {j, j+1} (parity 1→0, VALID) — one 2x2 conv
+either way, with the packed kernel built by `pack_conv3x3`. Stride-2
+(0,1,0,1)-padded Downsample (vqgan_arch.py:129-139) consumes a parity-1
+tensor and emits an ordinary unpacked half-res map; nearest-up + conv3x3
+(`Upsample`, vqgan_arch.py:142-152) consumes an unpacked map and emits a
+parity-1 packed one, at 4/9 of the unpacked MACs (the nearest-duplicated
+pixels are never materialized).
+
+All products are identical to the unpacked ops — only summation order
+changes — so this is numerics-preserving up to float addition order.
+Weight packing runs once on the host (`numpy`) at model-prepare time, not
+inside jit.
+"""
+from typing import Optional, Tuple
+
+import numpy as np
+import jax
+import jax.numpy as jnp
+
+
+# ---------------------------------------------------------------------------
+# Pack / unpack
+# ---------------------------------------------------------------------------
+
+def space_to_depth(x):
+    """(B, H, W, C) -> parity-0 packed (B, H/2, W/2, 4C), phase-major."""
+    b, h, w, c = x.shape
+    x = x.reshape(b, h // 2, 2, w // 2, 2, c)
+    x = x.transpose(0, 1, 3, 2, 4, 5)  # (B, Hc, Wc, py, px, C)
+    return x.reshape(b, h // 2, w // 2, 4 * c)
+
+
+def depth_to_space(x, parity: int = 0):
+    """Inverse of space_to_depth. parity-1 tensors drop their -1/H pad rows."""
+    b, hc, wc, c4 = x.shape
+    c = c4 // 4
+    x = x.reshape(b, hc, wc, 2, 2, c).transpose(0, 1, 3, 2, 4, 5)
+    x = x.reshape(b, 2 * hc, 2 * wc, c)
+    if parity:
+        x = x[:, 1:-1, 1:-1, :]
+    return x
+
+
+def mask_parity1(x, c: int):
+    """Zero the half-cells of a parity-1 packed tensor that represent the
+    SAME-padding rows/cols -1 and H (phase blocks are channel ranges;
+    qy==0 -> blocks 0,1; qy==1 -> blocks 2,3; qx==0 -> blocks 0,2;
+    qx==1 -> blocks 1,3).
+
+    Implemented as two broadcast multiplies with tiny separable row/col
+    masks — elementwise, so XLA fuses them into the producing conv/norm
+    epilogue (dynamic-update-slice variants materialize the full tensor
+    per update and measure ~8% slower end-to-end)."""
+    hc, wc = x.shape[-3], x.shape[-2]
+    dt = x.dtype
+    # (Hc, 4) over (qy*2+qx) phase blocks, broadcast over the C channels
+    rows = jnp.ones((hc, 4), dt).at[0, :2].set(0).at[-1, 2:].set(0)
+    cols = jnp.ones((wc, 4), dt).at[0, 0::2].set(0).at[-1, 1::2].set(0)
+    rows = jnp.repeat(rows, c, axis=-1)  # (Hc, 4C)
+    cols = jnp.repeat(cols, c, axis=-1)
+    return x * rows[:, None, :] * cols[None, :, :]
+
+
+# ---------------------------------------------------------------------------
+# Host-side weight packing (numpy, once per model prepare)
+# ---------------------------------------------------------------------------
+
+def pack_conv3x3(w: np.ndarray, b: Optional[np.ndarray]):
+    """(3,3,Cin,Cout) SAME conv -> (2,2,4Cin,4Cout) packed kernel (+ bias
+    tiled per output phase). The same kernel serves both parity directions;
+    only the coarse padding differs (see `packed_conv`)."""
+    w = np.asarray(w)
+    cin, cout = w.shape[2], w.shape[3]
+    pw = np.zeros((2, 2, 4 * cin, 4 * cout), w.dtype)
+    for py in range(2):
+        for px in range(2):
+            for dy in range(3):
+                for dx in range(3):
+                    u, v = py + dy, px + dx
+                    ty, tx = u // 2, v // 2
+                    qy, qx = u % 2, v % 2
+                    pw[ty, tx, (qy * 2 + qx) * cin:(qy * 2 + qx + 1) * cin,
+                       (py * 2 + px) * cout:(py * 2 + px + 1) * cout] += w[dy, dx]
+    pb = None if b is None else np.tile(np.asarray(b), 4)
+    return pw, pb
+
+
+def pack_upconv3x3(w: np.ndarray, b: Optional[np.ndarray]):
+    """nearest-2x-up + 3x3 SAME conv -> (2,2,Cin,4Cout) packed kernel over
+    the UN-upsampled input (emits a parity-1 packed tensor)."""
+    w = np.asarray(w)
+    cin, cout = w.shape[2], w.shape[3]
+    pw = np.zeros((2, 2, cin, 4 * cout), w.dtype)
+    for py in range(2):
+        for px in range(2):
+            for dy in range(3):
+                for dx in range(3):
+                    ty, tx = (py + dy) // 2, (px + dx) // 2
+                    pw[ty, tx, :, (py * 2 + px) * cout:(py * 2 + px + 1) * cout] \
+                        += w[dy, dx]
+    pb = None if b is None else np.tile(np.asarray(b), 4)
+    return pw, pb
+
+
+def pack_downsample3x3(w: np.ndarray, b: Optional[np.ndarray]):
+    """(0,1,0,1)-pad stride-2 3x3 conv consuming a parity-1 packed input ->
+    (2,2,4Cin,Cout) kernel emitting an ordinary unpacked half-res map."""
+    w = np.asarray(w)
+    cin = w.shape[2]
+    pw = np.zeros((2, 2, 4 * cin) + w.shape[3:], w.dtype)
+    for dy in range(3):
+        for dx in range(3):
+            ty, tx = (dy + 1) // 2, (dx + 1) // 2
+            qy, qx = (dy + 1) % 2, (dx + 1) % 2
+            pw[ty, tx, (qy * 2 + qx) * cin:(qy * 2 + qx + 1) * cin] += w[dy, dx]
+    return pw, (None if b is None else np.asarray(b))
+
+
+# ---------------------------------------------------------------------------
+# Device-side packed ops
+# ---------------------------------------------------------------------------
+
+_DN = ("NHWC", "HWIO", "NHWC")
+
+
+def packed_conv(x, pw, pb, parity: int):
+    """Packed 3x3-equivalent conv. parity = parity of x; output parity flips.
+    Output is boundary-masked when it is parity-1."""
+    pad = [(1, 1), (1, 1)] if parity == 0 else [(0, 0), (0, 0)]
+    out = jax.lax.conv_general_dilated(x, pw, (1, 1), pad,
+                                       dimension_numbers=_DN)
+    if pb is not None:
+        out = out + pb
+    if parity == 0:  # output parity 1 -> zero the -1/H half-cells
+        out = mask_parity1(out, pw.shape[-1] // 4)
+    return out
+
+
+def packed_upconv(x, pw, pb):
+    """Unpacked (B, H, W, C) -> parity-1 packed (B, H+1, W+1, 4Cout):
+    nearest-2x upsample + 3x3 conv, computed without materializing 2H x 2W."""
+    out = jax.lax.conv_general_dilated(x, pw, (1, 1), [(1, 1), (1, 1)],
+                                       dimension_numbers=_DN)
+    if pb is not None:
+        out = out + pb
+    return mask_parity1(out, pw.shape[-1] // 4)
+
+
+def packed_downsample(x, pw, pb):
+    """parity-1 packed (B, Hc, Wc, 4C) -> unpacked (B, (Hc-1), (Wc-1), Cout)."""
+    out = jax.lax.conv_general_dilated(x, pw, (1, 1), [(0, 0), (0, 0)],
+                                       dimension_numbers=_DN)
+    if pb is not None:
+        out = out + pb
+    return out
+
+
+def packed_conv1x1(x, w, b, parity: int):
+    """Per-phase 1x1 conv on a packed tensor (used by ResBlock skip
+    projections). w: (1,1,Cin,Cout) unpacked."""
+    bsz, hc, wc, c4 = x.shape
+    cin = w.shape[2]
+    cout = w.shape[3]
+    out = jnp.einsum("bhwpc,cd->bhwpd", x.reshape(bsz, hc, wc, 4, cin),
+                     w.reshape(cin, cout)).reshape(bsz, hc, wc, 4 * cout)
+    if b is not None:
+        out = out + jnp.tile(b, 4)
+    if parity == 1:
+        out = mask_parity1(out, cout)
+    return out
+
+
+def packed_group_norm(x, params, true_hw: Tuple[int, int],
+                      num_groups: int = 32, eps: float = 1e-6,
+                      parity: int = 0, swish_after: bool = False):
+    """GroupNorm over the ORIGINAL (H, W, C) geometry of a packed tensor.
+
+    Parity-1 pad half-cells are zeros, so per-channel f32 sums over the
+    packed layout equal the true sums; stats divide by the true element
+    count. After normalize (+ optional fused swish) parity-1 tensors are
+    re-masked (normalizing maps pad zeros to -mean/std != 0)."""
+    c4 = x.shape[-1]
+    c = c4 // 4
+    k = c // num_groups
+    n = true_hw[0] * true_hw[1] * k
+    xf = x.astype(jnp.float32)
+    s1 = jnp.sum(xf, axis=(-3, -2))                 # (..., 4C)
+    s2 = jnp.sum(jnp.square(xf), axis=(-3, -2))
+    # fold the 4 phase copies of each channel together
+    s1 = s1.reshape(s1.shape[:-1] + (4, c)).sum(-2)
+    s2 = s2.reshape(s2.shape[:-1] + (4, c)).sum(-2)
+    g1 = s1.reshape(s1.shape[:-1] + (num_groups, k)).sum(-1)
+    g2 = s2.reshape(s2.shape[:-1] + (num_groups, k)).sum(-1)
+    mean = g1 / n
+    var = g2 / n - mean * mean
+    inv = jax.lax.rsqrt(var + eps)
+    scale = jnp.repeat(inv, k, axis=-1)
+    shift = jnp.repeat(-mean * inv, k, axis=-1)
+    if params is not None:
+        gamma = params["scale"].astype(jnp.float32)
+        scale = scale * gamma
+        shift = shift * gamma + params["bias"].astype(jnp.float32)
+    scale = jnp.tile(scale, 4)[..., None, None, :]
+    shift = jnp.tile(shift, 4)[..., None, None, :]
+    out = xf * scale + shift
+    if swish_after:
+        out = out * jax.nn.sigmoid(out)
+    out = out.astype(x.dtype)
+    if parity == 1:
+        out = mask_parity1(out, c)
+    return out

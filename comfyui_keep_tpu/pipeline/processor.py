@@ -38,9 +38,16 @@ class KEEPFaceProcessor:
     def __init__(self, keep_params, keep_cfg, gmflow_params=None,
                  face_helper=None, bg_upscaler: Optional[Callable] = None,
                  face_upscaler: Optional[Callable] = None, dtype=None):
+        import os
         import jax.numpy as jnp
         self.keep_params = keep_params
         self.keep_cfg = dict(keep_cfg)
+        if os.environ.get("KEEP_TPU_NO_PHASE512") != "1":
+            # serving-time phase-packed 512-level conv kernels
+            # (ops/phase_pack.py); exact up to float summation order
+            from comfyui_keep_tpu.models.keep import KEEP
+            self.keep_params = KEEP.prepare_phase512(self.keep_params,
+                                                     **self.keep_cfg)
         self.gmflow_params = gmflow_params
         self.face_helper = face_helper
         self.bg_upscaler = bg_upscaler
