@@ -199,8 +199,9 @@ class KEEP:
         land inside it) for phase-packed execution (ops/phase_pack.py).
         apply() auto-detects prepared params. Do NOT train on prepared
         params — gradients must reach the canonical weights."""
+        import os
         from comfyui_keep_tpu.models.vqgan import (phase512_prepare,
-                                                   phase512_generator_start)
+                                                   phase_generator_start)
         cfg = {**DEFAULT_CFG, **cfg}
         if cfg["img_size"] != 512:
             return params
@@ -210,13 +211,17 @@ class KEEP:
         out["encoder"] = phase512_prepare(params["encoder"], enc_plan, "encoder")
         out["hq_encoder"] = phase512_prepare(params["hq_encoder"], enc_plan,
                                              "encoder")
-        start = phase512_generator_start(gen_plan)
         fuse = {gen_tap[f] for f in (tuple(cfg["cft_list"])
                                      + tuple(cfg["cfa_list"])
                                      + tuple(cfg["temp_reg_list"]))}
-        if start is not None and all(ix < start for ix in fuse):
+        # generator tail packing depth (upsample levels); 1 (the 512 level
+        # only) measured best on v5e — packing the 256/128 levels is SLOWER
+        # (odd 129/65-cell grids + extra unpack; see docs/ROADMAP.md)
+        levels = int(os.environ.get("KEEP_TPU_PHASE_LEVELS", "1"))
+        start = phase_generator_start(gen_plan, fuse, max_levels=levels)
+        if start is not None:
             out["generator"] = phase512_prepare(params["generator"], gen_plan,
-                                                "generator")
+                                                "generator", gen_start=start)
         return out
 
     # -- forward pieces -----------------------------------------------------
@@ -250,12 +255,13 @@ class KEEP:
         new_cfa = {}
         gen_feats = {}
         from comfyui_keep_tpu.models.vqgan import (_block_apply,
-                                                   packed_generator_tail,
-                                                   phase512_generator_start)
+                                                   packed_generator_tail)
         gen_blocks = params["generator"]["blocks"]
-        tail = phase512_generator_start(gen_plan)
-        if tail is not None and "p512" not in gen_blocks[tail]:
-            tail = None
+        # first Upsample carrying packed kernels = start of the packed tail
+        # (phase512_prepare packs every block from its chosen start onward)
+        tail = next((j for j, (s, p) in enumerate(zip(gen_plan, gen_blocks))
+                     if s[0] == "up" and isinstance(p, dict) and "p512" in p),
+                    None)
         for j, (spec, p) in enumerate(zip(gen_plan, gen_blocks)):
             if j == tail:
                 # phase-packed 512-level tail (no fusion taps land here for

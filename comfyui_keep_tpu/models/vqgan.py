@@ -191,11 +191,34 @@ def phase512_generator_start(plan) -> Optional[int]:
     return None
 
 
-def phase512_prepare(params, plan, kind: str):
-    """Host-side (numpy) weight packing for the 512-level region; returns a
-    new params tree with `p512` packed kernels alongside the originals.
+def phase_generator_start(plan, fuse_indices=(),
+                          max_levels: Optional[int] = None) -> Optional[int]:
+    """Earliest Upsample index from which the whole generator tail can run
+    phase-packed: every later block is up/res/norm/conv (attn needs the true
+    spatial layout) and no CFT/CFA/temp fusion tap lands at or after it.
+    max_levels bounds how many upsample levels are packed (None = all valid;
+    1 reproduces phase512_generator_start)."""
+    ups = [i for i, s in enumerate(plan) if s[0] == "up"]
+    if not ups:
+        return None
+    valid = []
+    for u in ups:
+        if (all(s[0] in ("up", "res", "norm", "conv") for s in plan[u + 1:])
+                and all(f < u for f in fuse_indices)):
+            valid.append(u)
+    if not valid:
+        return None
+    if max_levels is not None:
+        valid = valid[-max_levels:]
+    return valid[0]
+
+
+def phase512_prepare(params, plan, kind: str, gen_start: Optional[int] = None):
+    """Host-side (numpy) weight packing for the phase-packed region; returns
+    a new params tree with `p512` packed kernels alongside the originals.
     Serving-time only — trainers keep the unpacked path (gradients must
-    reach the canonical weights)."""
+    reach the canonical weights). gen_start overrides the generator tail
+    start (e.g. phase_generator_start for multi-level packing)."""
     from comfyui_keep_tpu.ops import phase_pack as pp
     import numpy as np
 
@@ -203,7 +226,7 @@ def phase512_prepare(params, plan, kind: str):
         end = phase512_encoder_end(plan)
         rng = range(0, end + 1) if end is not None else range(0)
     else:
-        start = phase512_generator_start(plan)
+        start = gen_start if gen_start is not None else phase512_generator_start(plan)
         rng = range(start, len(plan)) if start is not None else range(0)
 
     def _np(t):
@@ -276,16 +299,23 @@ def _packed_encoder_prefix(params, plan, x, end: int, taps, tap_indices,
 
 
 def packed_generator_tail(params, plan, x, start: int):
-    """Run blocks [start..] (up, res*, norm, conv) phase-packed; returns the
-    unpacked full-res output."""
+    """Run blocks [start..] (up/res* per level, then norm, conv) phase-packed;
+    returns the unpacked full-res output. Multi-level: each Upsample consumes
+    the (unpacked) previous level and emits a parity-1 packed next level —
+    the only full-layout tensors ever materialized are the small per-level
+    inputs (<= half final res), never the 512x512x64 stack."""
     from comfyui_keep_tpu.ops import phase_pack as pp
-    true_hw = (x.shape[-3] * 2, x.shape[-2] * 2)
-    p = params["blocks"][start]
-    x = pp.packed_upconv(x, p["p512"]["w"], p["p512"]["b"])
-    parity = 1
-    for j in range(start + 1, len(plan)):
+    parity = None  # None = x is unpacked
+    true_hw = None
+    for j in range(start, len(plan)):
         spec, p = plan[j], params["blocks"][j]
-        if spec[0] == "res":
+        if spec[0] == "up":
+            if parity is not None:
+                x = pp.depth_to_space(x, parity)
+            true_hw = (x.shape[-3] * 2, x.shape[-2] * 2)
+            x = pp.packed_upconv(x, p["p512"]["w"], p["p512"]["b"])
+            parity = 1
+        elif spec[0] == "res":
             x = _packed_res_block(p, x, parity, true_hw)
         elif spec[0] == "norm":
             x = pp.packed_group_norm(x, p, true_hw, eps=GN_EPS, parity=parity)

@@ -18,7 +18,8 @@ def group_norm(x, params, num_groups: int = 32, eps: float = 1e-6):
     c = x.shape[-1]
     k = c // num_groups
     n = x.shape[-3] * x.shape[-2] * k
-    xf = x.astype(jnp.float32)
+    ct = jnp.promote_types(x.dtype, jnp.float32)  # f32 stats; exact in f64
+    xf = x.astype(ct)
     s1 = jnp.sum(xf, axis=(-3, -2))                 # (..., C)
     s2 = jnp.sum(jnp.square(xf), axis=(-3, -2))     # (..., C)
     g1 = s1.reshape(s1.shape[:-1] + (num_groups, k)).sum(-1)
@@ -30,9 +31,9 @@ def group_norm(x, params, num_groups: int = 32, eps: float = 1e-6):
     scale = jnp.repeat(inv, k, axis=-1)
     shift = jnp.repeat(-mean * inv, k, axis=-1)
     if params is not None:
-        gamma = params["scale"].astype(jnp.float32)
+        gamma = params["scale"].astype(ct)
         scale = scale * gamma
-        shift = shift * gamma + params["bias"].astype(jnp.float32)
+        shift = shift * gamma + params["bias"].astype(ct)
     scale = scale[..., None, None, :]
     shift = shift[..., None, None, :]
     return (xf * scale + shift).astype(x.dtype)
@@ -52,7 +53,8 @@ def instance_norm(x, params=None, eps: float = 1e-5):
     """Per-(N,C) spatial normalization, NHWC. torch InstanceNorm2d(affine=False)
     default. f32-accumulated stats + one fused normalize pass (same TPU
     shaping as group_norm above)."""
-    xf = x.astype(jnp.float32)
+    ct = jnp.promote_types(x.dtype, jnp.float32)  # f32 stats; exact in f64
+    xf = x.astype(ct)
     n = x.shape[-3] * x.shape[-2]
     s1 = jnp.sum(xf, axis=(-3, -2))              # (..., C)
     s2 = jnp.sum(jnp.square(xf), axis=(-3, -2))  # (..., C)
@@ -61,9 +63,9 @@ def instance_norm(x, params=None, eps: float = 1e-5):
     inv = jax.lax.rsqrt(var + eps)
     scale, shift = inv, -mean * inv
     if params is not None:
-        gamma = params["scale"].astype(jnp.float32)
+        gamma = params["scale"].astype(ct)
         scale = scale * gamma
-        shift = shift * gamma + params["bias"].astype(jnp.float32)
+        shift = shift * gamma + params["bias"].astype(ct)
     return (xf * scale[..., None, None, :] +
             shift[..., None, None, :]).astype(x.dtype)
 

@@ -204,7 +204,8 @@ def packed_group_norm(x, params, true_hw: Tuple[int, int],
     c = c4 // 4
     k = c // num_groups
     n = true_hw[0] * true_hw[1] * k
-    xf = x.astype(jnp.float32)
+    ct = jnp.promote_types(x.dtype, jnp.float32)  # f32 stats; exact in f64
+    xf = x.astype(ct)
     s1 = jnp.sum(xf, axis=(-3, -2))                 # (..., 4C)
     s2 = jnp.sum(jnp.square(xf), axis=(-3, -2))
     # fold the 4 phase copies of each channel together
@@ -218,9 +219,9 @@ def packed_group_norm(x, params, true_hw: Tuple[int, int],
     scale = jnp.repeat(inv, k, axis=-1)
     shift = jnp.repeat(-mean * inv, k, axis=-1)
     if params is not None:
-        gamma = params["scale"].astype(jnp.float32)
+        gamma = params["scale"].astype(ct)
         scale = scale * gamma
-        shift = shift * gamma + params["bias"].astype(jnp.float32)
+        shift = shift * gamma + params["bias"].astype(ct)
     scale = jnp.tile(scale, 4)[..., None, None, :]
     shift = jnp.tile(shift, 4)[..., None, None, :]
     out = xf * scale + shift

@@ -130,6 +130,47 @@ class TestPackedPlans:
         got = packed_generator_tail(prepared, plan, x, start)
         np.testing.assert_allclose(got, ref, atol=2e-5)
 
+    def test_generator_tail_multilevel(self):
+        """Multi-level packed tail (up/res chains across 2-3 upsample levels)
+        == plain blocks_apply. Run in f64 where the packed rewrite is exact
+        to rounding (f32 through a deep random-init GN stack amplifies
+        summation-order noise to ~1e-2 for packed AND unpacked alike)."""
+        from comfyui_keep_tpu.models.vqgan import (
+            _block_apply, blocks_apply, blocks_init, generator_plan,
+            packed_generator_tail, phase_generator_start, phase512_prepare)
+        jax.config.update("jax_enable_x64", True)
+        try:
+            plan = generator_plan(32, 32, (1, 2, 2, 4), 2, 64, (8,))
+            params = blocks_init(jax.random.PRNGKey(0), plan)
+            params = jax.tree.map(lambda a: a.astype(jnp.float64), params)
+            z = jax.random.normal(jax.random.PRNGKey(1),
+                                  (2, 8, 8, 32)).astype(jnp.float64)
+            ref = blocks_apply(params, plan, z)
+            for levels in (1, 2, 3):
+                start = phase_generator_start(plan, (), max_levels=levels)
+                assert plan[start][0] == "up"
+                prepared = phase512_prepare(params, plan, "generator",
+                                            gen_start=start)
+                x = z
+                for j in range(start):
+                    x = _block_apply(plan[j], prepared["blocks"][j], x)
+                got = packed_generator_tail(prepared, plan, x, start)
+                np.testing.assert_allclose(got, ref, atol=1e-10)
+        finally:
+            jax.config.update("jax_enable_x64", False)
+
+    def test_phase_generator_start_fuse_constraint(self):
+        """Fusion taps inside the tail push the packed start past them."""
+        from comfyui_keep_tpu.models.vqgan import (generator_plan,
+                                                   phase_generator_start)
+        plan = generator_plan(32, 32, (1, 2, 2, 4), 2, 64, (8,))
+        ups = [i for i, s in enumerate(plan) if s[0] == "up"]
+        assert phase_generator_start(plan, ()) == ups[0]
+        # a tap at the first up's level forces the next one
+        assert phase_generator_start(plan, (ups[0] + 1,)) == ups[1]
+        assert phase_generator_start(plan, (len(plan) - 1,)) is None
+        assert phase_generator_start(plan, (), max_levels=1) == ups[-1]
+
     def test_keep_prepare_smoke(self):
         """prepare_phase512 is a no-op off 512 and keeps apply() working on
         the tiny config."""

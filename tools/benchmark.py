@@ -23,6 +23,8 @@ def main():
     p.add_argument("--no-flow", action="store_true",
                    help="KEEP only (zero flows), skip GMFlow")
     p.add_argument("--scan-unroll", type=int, default=2)
+    p.add_argument("--no-phase-pack", action="store_true",
+                   help="skip prepare_phase512 (serving weight packing)")
     p.add_argument("--trace", default=None,
                    help="capture a jax.profiler trace into this directory")
     args = p.parse_args()
@@ -37,6 +39,8 @@ def main():
     cfg = KEEP.config(args.variant)
     params = jax.jit(lambda k: KEEP.init(k, **cfg))(jax.random.PRNGKey(0))
     params = jax.tree.map(lambda a: a.astype(dt), params)
+    if not args.no_phase_pack:
+        params = KEEP.prepare_phase512(params, **cfg)
     size = cfg["img_size"]
     x = (jax.random.normal(jax.random.PRNGKey(1),
                            (args.batch, args.frames, size, size, 3))
