@@ -26,7 +26,11 @@ def grid_sample(img, grid, mode: str = "bilinear", padding_mode: str = "zeros",
     grid[..., 1]=y in [-1,1].
     """
     n, h, w, c = img.shape
-    gx, gy = grid[..., 0], grid[..., 1]
+    # coordinate math in (at least) f32: a bf16 coordinate at x~500 is
+    # quantized to ~2 px (2^-8 relative), which visibly degrades bf16
+    # serving. f32 grids keep the exact reference arithmetic.
+    ct = jnp.promote_types(grid.dtype, jnp.float32)
+    gx, gy = grid[..., 0].astype(ct), grid[..., 1].astype(ct)
     if align_corners:
         ix = (gx + 1.0) * 0.5 * (w - 1)
         iy = (gy + 1.0) * 0.5 * (h - 1)
@@ -62,19 +66,55 @@ def grid_sample(img, grid, mode: str = "bilinear", padding_mode: str = "zeros",
     x1i = x0i + 1
     y1i = y0i + 1
 
-    def corner(yi, xi):
-        yc = jnp.clip(yi, 0, h - 1)
-        xc = jnp.clip(xi, 0, w - 1)
-        v = _gather_2d(img, yc, xc)
-        if padding_mode == "zeros":
-            ok = (xi >= 0) & (xi <= w - 1) & (yi >= 0) & (yi <= h - 1)
-            v = v * ok[..., None].astype(img.dtype)
-        return v
+    import os
+    if padding_mode == "zeros" and os.environ.get("KEEP_TPU_WARP_QUAD") != "0":
+        # Fast path: ONE take_along_axis over a quad-stacked operand
+        # (4 corners per row) instead of 4 per-corner gathers. TPU gathers
+        # are index-rate-bound (rows of C are tiny): 4.4x faster standalone
+        # at 512x512x3 (65.8 -> 14.8 ms for 19 chained warps). Inside the
+        # KEEP scan the warp overlaps other work and this is neutral
+        # (docs/ROADMAP.md). General lax.gather slices are 100x slower than
+        # take_along_axis and are not an option. KEEP_TPU_WARP_QUAD=0
+        # restores the 4-gather path for attribution.
+        pad = jnp.pad(img, ((0, 0), (0, 1), (0, 1), (0, 0)))
+        quad = jnp.concatenate(  # (N, H, W, 4C): [y,x] [y,x+1] [y+1,x] [y+1,x+1]
+            [pad[:, :h, :w], pad[:, :h, 1:], pad[:, 1:, :w], pad[:, 1:, 1:]],
+            axis=-1)
+        xc = jnp.clip(x0i, 0, w - 1)
+        yc = jnp.clip(y0i, 0, h - 1)
+        g = _gather_2d(quad, yc, xc)  # (N, Ho, Wo, 4C)
+        q = g.reshape(g.shape[:-1] + (2, 2, c))
 
-    v00 = corner(y0i, x0i)
-    v01 = corner(y0i, x1i)
-    v10 = corner(y1i, x0i)
-    v11 = corner(y1i, x1i)
+        def corner(yi, xi, oy, ox):
+            # quad element actually holding (yi, xi): offsets in {0,1} for
+            # every in-range corner; out-of-range corners are masked anyway
+            v = jnp.where((oy == 1)[..., None],
+                          jnp.where((ox == 1)[..., None], q[..., 1, 1, :],
+                                    q[..., 1, 0, :]),
+                          jnp.where((ox == 1)[..., None], q[..., 0, 1, :],
+                                    q[..., 0, 0, :]))
+            ok = (xi >= 0) & (xi <= w - 1) & (yi >= 0) & (yi <= h - 1)
+            return v * ok[..., None].astype(img.dtype)
+
+        v00 = corner(y0i, x0i, y0i - yc, x0i - xc)
+        v01 = corner(y0i, x1i, y0i - yc, jnp.clip(x1i, 0, w - 1) - xc)
+        v10 = corner(y1i, x0i, jnp.clip(y1i, 0, h - 1) - yc, x0i - xc)
+        v11 = corner(y1i, x1i, jnp.clip(y1i, 0, h - 1) - yc,
+                     jnp.clip(x1i, 0, w - 1) - xc)
+    else:
+        def corner(yi, xi):
+            yc = jnp.clip(yi, 0, h - 1)
+            xc = jnp.clip(xi, 0, w - 1)
+            v = _gather_2d(img, yc, xc)
+            if padding_mode == "zeros":  # KEEP_TPU_WARP_QUAD=0 fallback
+                ok = (xi >= 0) & (xi <= w - 1) & (yi >= 0) & (yi <= h - 1)
+                v = v * ok[..., None].astype(img.dtype)
+            return v
+
+        v00 = corner(y0i, x0i)
+        v01 = corner(y0i, x1i)
+        v10 = corner(y1i, x0i)
+        v11 = corner(y1i, x1i)
     wx = wx[..., None]
     wy = wy[..., None]
     top = v00 * (1 - wx) + v01 * wx
@@ -97,11 +137,15 @@ def flow_warp(x, flow, interp_mode: str = "bilinear", padding_mode: str = "zeros
               align_corners: bool = True):
     """Warp (N, H, W, C) by flow (N, H, W, 2) [dx, dy] — arch_util.py:113-144."""
     n, h, w, _ = x.shape
-    grid_y = jnp.arange(h, dtype=flow.dtype)
-    grid_x = jnp.arange(w, dtype=flow.dtype)
+    # grid math in (at least) f32 — bf16 flow upcast so the normalized grid
+    # keeps sub-pixel precision (see grid_sample note); same arithmetic as
+    # the reference's f32 path (arch_util.py:113-144).
+    ct = jnp.promote_types(flow.dtype, jnp.float32)
+    grid_y = jnp.arange(h, dtype=ct)
+    grid_x = jnp.arange(w, dtype=ct)
     gy, gx = jnp.meshgrid(grid_y, grid_x, indexing="ij")
-    vx = gx[None] + flow[..., 0]
-    vy = gy[None] + flow[..., 1]
+    vx = gx[None] + flow[..., 0].astype(ct)
+    vy = gy[None] + flow[..., 1].astype(ct)
     nx = 2.0 * vx / max(w - 1, 1) - 1.0
     ny = 2.0 * vy / max(h - 1, 1) - 1.0
     grid = jnp.stack([nx, ny], axis=-1)
