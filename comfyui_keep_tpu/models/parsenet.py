@@ -96,9 +96,12 @@ class ParseNet:
         ki = iter(ks)
         encoder: List = [_conv_layer_init(next(ki), 3, base_ch)]
         for cin, cout in enc:
-            encoder.append(_resblock_init(next(ki), cin, cout))
+            # scale matters: down/up blocks always carry a shortcut conv
+            # (parsenet.py ResidualBlock), even when cin == cout
+            encoder.append(_resblock_init(next(ki), cin, cout, scale="down"))
         body = [_resblock_init(next(ki), body_ch, body_ch) for _ in range(res_depth)]
-        decoder = [_resblock_init(next(ki), cin, cout) for cin, cout in dec]
+        decoder = [_resblock_init(next(ki), cin, cout, scale="up")
+                   for cin, cout in dec]
         return {
             "encoder": encoder, "body": body, "decoder": decoder,
             "out_img_conv": _conv_layer_init(next(ki), out_ch, 3),

@@ -259,6 +259,15 @@ class TestFactory:
         logits = parser(jnp.zeros((1, 64, 64, 3), jnp.float32))
         assert logits.shape == (1, 64, 64, 19)
 
+    def test_random_weight_parsenet_fullsize(self):
+        """Regression: random-init ParseNet (fixed 512 config) forward —
+        init used to omit the down/up resblock shortcut convs and the
+        decoder adds failed (models/parsenet.py scale arg)."""
+        from comfyui_keep_tpu.facelib import init_parsing_model
+        parser = init_parsing_model("parsenet", require_weights=False)
+        logits = parser(jnp.zeros((1, 512, 512, 3), jnp.float32))
+        assert logits.shape == (1, 512, 512, 19)
+
     def test_unknown_names(self):
         from comfyui_keep_tpu.facelib import (init_detection_model,
                                               init_parsing_model)

@@ -51,6 +51,20 @@ class TestParseNet:
         np.testing.assert_array_equal(np.asarray(mask).argmax(-1),
                                       ref_mask.numpy().argmax(1))
 
+    def test_random_init_matches_reference_structure(self, nets):
+        """ParseNet.init must build the same tree as the converted torch
+        state dict (regression: down/up resblocks always carry a shortcut
+        conv even when cin == cout — random-init forward used to fail)."""
+        _, tree, ParseNet = nets
+        ours = ParseNet.init(jax.random.PRNGKey(0))
+        ref_paths = {jax.tree_util.keystr(k)
+                     for k, _ in jax.tree_util.tree_leaves_with_path(tree)}
+        our_paths = {jax.tree_util.keystr(k)
+                     for k, _ in jax.tree_util.tree_leaves_with_path(ours)}
+        assert our_paths == ref_paths
+        mask, img = ParseNet.apply(ours, jnp.zeros((1, 512, 512, 3)))
+        assert mask.shape == (1, 512, 512, 19) and img.shape == (1, 512, 512, 3)
+
 
 class TestRetinaFaceComponents:
     @pytest.fixture(scope="class")
