@@ -143,3 +143,31 @@ def test_shipped_option_files_parse_and_resolve():
         assert MODEL_REGISTRY.get(opt["model_type"]) is not None
         for ds in opt.get("datasets", {}).values():
             assert DATASET_REGISTRY.get(ds["type"]) is not None
+
+
+def test_plot_util(tmp_path):
+    """utils/plot.py vs reference plot_util.py semantics (txt readers +
+    tensorboard IIR smoothing)."""
+    from comfyui_keep_tpu.utils.plot import (read_data_from_txt_1v,
+                                             read_data_from_txt_2v,
+                                             smooth_data)
+    log = tmp_path / "train.log"
+    log.write_text("iter 100 loss 0.5\niter 200 loss 0.25\nnoise line\n"
+                   "iter 300 loss 0.125\n")
+    steps, vals = read_data_from_txt_2v(str(log), r"iter (\d+) loss ([\d.]+)")
+    assert steps == [100, 200, 300] and vals == [0.5, 0.25, 0.125]
+    steps1, _ = read_data_from_txt_2v(str(log), r"iter (\d+) loss ([\d.]+)",
+                                      step_one=True)
+    assert steps1 == [101, 201, 301]
+    assert read_data_from_txt_1v(str(log), r"iter \d+ loss ([\d.]+)") == vals
+    # y[i] = w*y[i-1] + (1-w)*x[i], seeded with x[0] (plot_util.py:68-83)
+    assert smooth_data([1.0, 0.0, 0.0], 0.5) == [1.0, 0.5, 0.25]
+
+
+def test_zoo_lazy_configs_and_gdrive_surface():
+    """zoo is importable as the entry module (no import cycle) and exposes
+    the google-drive downloader (download_util.py:11-66 equivalent)."""
+    from comfyui_keep_tpu.utils import zoo
+    cfgs = zoo.KEEP_MODEL_CONFIGS
+    assert set(cfgs) == {"KEEP", "Asian"}
+    assert callable(zoo.download_file_from_google_drive)
