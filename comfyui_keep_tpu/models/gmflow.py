@@ -347,6 +347,16 @@ def flow_attention(p, feature0, flow, local_window_radius: int = -1):
         return jnp.einsum("bhwk,bhwkc->bhwc", prob, vp)
     k = linear(q, p["k_proj"]["w"], p["k_proj"]["b"])
     v = flow.reshape(b, h * w, 2)
+    from comfyui_keep_tpu.ops.pallas_kernels import (_HAVE_PALLAS, _on_tpu,
+                                                     attention_pallas)
+    if _HAVE_PALLAS and _on_tpu() and c % 128 == 0 and (h * w) % 128 == 0:
+        # fused kernel: the (HW, HW) f32 probs never hit HBM (1.27 GB/clip
+        # at 64x64x19 pairs) and the V matmul runs lane-padded 2->c instead
+        # of N=2 (the padded columns are zeros; sliced off after)
+        v_pad = jnp.concatenate(
+            [v, jnp.zeros(v.shape[:-1] + (c - 2,), v.dtype)], axis=-1)
+        out = attention_pallas(q, k, v_pad, 1.0 / math.sqrt(c))[..., :2]
+        return out.reshape(b, h, w, 2)
     scores = jnp.einsum("blc,bmc->blm", q, k,
                         preferred_element_type=jnp.float32) / math.sqrt(c)
     prob = jax.nn.softmax(scores, axis=-1).astype(v.dtype)

@@ -200,7 +200,7 @@ def _attn_bias_kernel(q_ref, k_ref, v_ref, b_ref, o_ref, *, scale):
                        preferred_element_type=jnp.float32).astype(o_ref.dtype)
 
 
-def attention_pallas(q, k, v, scale: float, bias=None, block_q: int = 256,
+def attention_pallas(q, k, v, scale: float, bias=None, block_q: int = None,
                      interpret: bool = False):
     """Fused single-head softmax(q k^T * scale [+ bias]) v for (B, L, D)
     with K/V and the f32 score block VMEM-resident (one HBM pass; the
@@ -208,6 +208,14 @@ def attention_pallas(q, k, v, scale: float, bias=None, block_q: int = 256,
     Bm dividing B (window masks repeat every Bm batch entries — the Swin
     shifted-window case, gmflow transformer.py:8-105)."""
     b, l, d = q.shape
+    if block_q is None:
+        # Largest q block whose f32 score block (bq, l) stays ~4 MB (2 MB
+        # when a bias block rides along) — measured best on v5e at l=1024,
+        # d=128: 1024 no-bias (no K/V refetch), 512 with bias.
+        budget = (4 << 20) if bias is None else (2 << 20)
+        cap = max(128, min(l, budget // (4 * l)))
+        block_q = max((d for d in range(128, cap + 1, 128) if l % d == 0),
+                      default=min(128, l))
     bq = min(block_q, l)
     assert l % bq == 0
     if bias is None:
