@@ -23,7 +23,7 @@ import jax.numpy as jnp
 
 from comfyui_keep_tpu.ops import (
     conv2d, conv2d_init, group_norm, layer_norm, linear, linear_init,
-    resize_bilinear, flow_warp,
+    resize_bilinear, flow_warp, flow_warp_xy,
 )
 from comfyui_keep_tpu.models.vqgan import (
     blocks_apply, blocks_init, encoder_plan, generator_plan, res_block,
@@ -359,12 +359,16 @@ class KEEP:
         # --- frames 1..T-1 as lax.scan --------------------------------------
         def step(carry, inp):
             prev_out, prev_cfa = carry
-            z_t, gain_t, flow_t, enc_t = inp
+            z_t, gain_t, fx_t, fy_t, enc_t = inp
             # profile_mode isolates scan-step components for perf triage
             if profile_mode == "no_hq":
                 z_hat = z_t
             else:
-                warped = flow_warp(jax.lax.stop_gradient(prev_out), flow_t)
+                # optimization_barrier: without it XLA fuses the warp's
+                # gathers into the encoder's first packed conv with a
+                # pathological layout (+2 ms/step on v5e, docs/ROADMAP.md)
+                warped = jax.lax.optimization_barrier(
+                    flow_warp_xy(jax.lax.stop_gradient(prev_out), fx_t, fy_t))
                 z_prime = blocks_apply(params["hq_encoder"], enc_plan, warped,
                                        remat=remat)
                 z_hat = (1.0 - gain_t) * z_t + gain_t * z_prime
@@ -390,7 +394,10 @@ class KEEP:
         xs = (
             jnp.moveaxis(z_codes[:, start:], 1, 0),
             jnp.moveaxis(gains[:, start:], 1, 0),
-            jnp.moveaxis(flows, 1, 0),
+            # flow as dense x/y planes: the (..., 2) interleaved layout makes
+            # the per-step xs slice + de-interleave cost ~1.2 ms at 512x512
+            jnp.moveaxis(flows[..., 0], 1, 0),
+            jnp.moveaxis(flows[..., 1], 1, 0),
             {f: jnp.moveaxis(enc_feats[f][:, start:], 1, 0)
              for f in cfg["cft_list"]},
         )

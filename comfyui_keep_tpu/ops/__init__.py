@@ -14,5 +14,5 @@ from comfyui_keep_tpu.ops.act import swish, leaky_relu, gelu, relu, sigmoid
 from comfyui_keep_tpu.ops.resample import (
     upsample_nearest_2x, resize_bilinear, avg_pool_2x, max_pool,
 )
-from comfyui_keep_tpu.ops.warp import grid_sample, flow_warp
+from comfyui_keep_tpu.ops.warp import grid_sample, flow_warp, flow_warp_xy
 from comfyui_keep_tpu.ops.attention import multi_head_attention, scaled_dot_product_attention
