@@ -385,8 +385,13 @@ class KEEP:
                 new_cfa = prev_cfa
                 gen_feats = {f: jnp.zeros_like(v) for f, v in gen_feats0.items()}
             else:
+                # barriers on the 16x16 quant entering the generator and the
+                # 512x512 frame leaving it: same fusion-pathology class as
+                # the warp barrier above (-8 ms/clip on v5e)
                 out, new_cfa, gen_feats = KEEP._decode_frame(
-                    params, cfg, quant, enc_t, prev_cfa, first=False)
+                    params, cfg, jax.lax.optimization_barrier(quant), enc_t,
+                    prev_cfa, first=False)
+                out = jax.lax.optimization_barrier(out)
             return (out, new_cfa), (out, logits_t, gen_feats)
 
         step_fn = jax.checkpoint(step) if remat else step
