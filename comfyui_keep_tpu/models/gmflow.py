@@ -429,17 +429,24 @@ class GMFlow:
     def flow_from_features(params, f0, f1, attn_splits: int = 2,
                            corr_radius: int = -1, prop_radius: int = -1):
         """Pair stages: transformer + correlation softmax + flow attention +
-        convex upsample on precomputed backbone features."""
+        convex upsample on precomputed backbone features.
+
+        optimization_barrier between stages: XLA otherwise fuses across the
+        stage boundaries with pathological layouts (-3.5 ms/clip on v5e,
+        same pathology class as the KEEP scan barriers — docs/ROADMAP.md)."""
+        bar = jax.lax.optimization_barrier
+        f0, f1 = bar(f0), bar(f1)
         f0, f1 = add_position(f0, f1, attn_splits, GMFlow.FEATURE_CHANNELS)
         f0, f1 = transformer_apply(params["transformer"], f0, f1, attn_splits)
+        f0, f1 = bar(f0), bar(f1)
         if corr_radius == -1:
             flow, _ = global_correlation_softmax(f0, f1)
         else:
             flow, _ = local_correlation_softmax(f0, f1, corr_radius)
-        flow = flow_attention(params["feature_flow_attn"], f0,
-                              jax.lax.stop_gradient(flow),
+        flow = flow_attention(params["feature_flow_attn"], bar(f0),
+                              jax.lax.stop_gradient(bar(flow)),
                               local_window_radius=prop_radius)
-        return upsample_flow_convex(params["upsampler"], flow, f0,
+        return upsample_flow_convex(params["upsampler"], bar(flow), f0,
                                     GMFlow.UPSAMPLE_FACTOR)
 
 
