@@ -290,8 +290,14 @@ class KEEPFaceProcessor:
                     progress(2)
                 continue
             helper.clean_all()
-            helper.input_img = frames_bgr[i]
-            helper.is_gray = is_gray(frames_bgr[i], threshold=10)
+            # The paste canvas must use the same geometry the affines were
+            # solved against in stage 2 — read_image applies the
+            # min-side-512 upscale (face_restoration_helper.py:172-184).
+            # The reference reuses the stale stage-2 input_img here
+            # (keep_processor.py:288-304 never re-reads); re-reading frame i
+            # is shape-identical for uniform clips and correct for mixed
+            # sizes (documented delta).
+            helper.read_image(frames_bgr[i])
             helper.restored_faces = [f.astype(np.uint8)
                                      for f in restored[fidx:fidx + c]]
             helper.affine_matrices = all_affines[fidx:fidx + c]

@@ -1,70 +1,103 @@
 """Tiled upscaler inference with overlap feathering.
 
-Equivalent of comfy.utils.tiled_scale as used by the reference
-(keep_processor.py:126-132: tile 512, overlap 64) and of RealESRGANer's tile
-loop (realesrgan_utils.py:118-176): the image is cut into overlapping tiles,
-each runs through the SR net, and outputs are blended with linear ramps over
-the overlap so seams vanish.
+Bit-faithful reimplementation of comfy.utils.tiled_scale as used by the
+reference (keep_processor.py:126-132: tile 512, overlap 64; also
+face_restoration_helper.py:97-125 _run_upscaler) and of RealESRGANer's tile
+loop (realesrgan_utils.py:118-176).
 
-TPU notes: every tile has the same static shape (edge tiles are padded then
-cropped), so one compiled program serves the whole grid; tiles are batched
-together when memory allows.
+ComfyUI's exact semantics (comfy/utils.py tiled_scale_multidim, public
+source), reproduced here:
+  - tile origin grid: ``range(0, size, tile - overlap)`` per dim, each
+    origin clamped to ``min(size - overlap, origin)`` — edge tiles are
+    RAGGED (length ``min(tile, size - pos)``), not shifted to keep a full
+    tile; the model runs on the ragged crop.
+  - feather = ``round(overlap * scale)`` in output space; the first/last
+    ``feather`` rows+cols of EVERY tile's mask are multiplied by
+    ``(t+1)/feather`` (so image-boundary edges are feathered too).
+  - accumulate ``out += model(tile) * mask`` and ``div += mask``; final
+    output is ``out / div`` (boundary feathering self-normalizes).
+
+TPU notes: interior tiles share one static shape and are batched through a
+single compiled program; ragged edge tiles introduce at most 3 extra shapes
+(right edge, bottom edge, corner) each compiled once.
 """
-from typing import Callable
+from typing import Callable, Dict, List, Tuple
 
 import numpy as np
 
 
-def _feather_mask(th: int, tw: int, overlap: int) -> np.ndarray:
+def _comfy_feather_mask(th: int, tw: int, feather: int) -> np.ndarray:
+    """ComfyUI's mask: ones, then both edges of each dim get (t+1)/feather
+    multiplied in, t = 0..feather-1 (comfy/utils.py tiled_scale_multidim).
+    Multiplications compound when the tile is smaller than 2*feather."""
     mask = np.ones((th, tw, 1), np.float32)
-    if overlap <= 0:
-        return mask
-    ramp = (np.arange(overlap, dtype=np.float32) + 1) / (overlap + 1)
-    mask[:overlap, :, 0] *= ramp[:, None]
-    mask[-overlap:, :, 0] *= ramp[::-1][:, None]
-    mask[:, :overlap, 0] *= ramp[None, :]
-    mask[:, -overlap:, 0] *= ramp[::-1][None, :]
+    for t in range(feather):
+        w = (t + 1) / feather
+        if t < th:
+            mask[t, :, 0] *= w
+        if th - 1 - t >= 0:
+            mask[th - 1 - t, :, 0] *= w
+        if t < tw:
+            mask[:, t, 0] *= w
+        if tw - 1 - t >= 0:
+            mask[:, tw - 1 - t, 0] *= w
     return mask
 
 
 def tiled_scale(img01: np.ndarray, model_fn: Callable, scale: int,
                 tile: int = 512, overlap: int = 64,
                 batch_tiles: int = 4) -> np.ndarray:
-    """img01: (H, W, C) float32 [0,1]; model_fn: (N, tile, tile, C) -> scaled.
-    Returns (H*scale, W*scale, C) float32 [0,1]-ish (unclamped)."""
-    h, w, c = img01.shape
-    if h <= tile and w <= tile:
-        # single padded tile fast path
-        ph, pw = tile - h if h < tile else 0, tile - w if w < tile else 0
-        if h <= tile and w <= tile and (h, w) != (tile, tile):
-            x = np.pad(img01, ((0, tile - h), (0, tile - w), (0, 0)), mode="reflect") \
-                if min(h, w) > 1 else np.pad(img01, ((0, tile - h), (0, tile - w), (0, 0)), mode="edge")
-            out = np.asarray(model_fn(x[None]))[0]
-            return out[: h * scale, : w * scale]
-        return np.asarray(model_fn(img01[None]))[0]
+    """img01: (H, W, C) float32 [0,1]; model_fn: (N, th, tw, C) -> (N, th*scale,
+    tw*scale, C). Returns (round(H*scale), round(W*scale), C) float32
+    (unclamped), matching comfy.utils.tiled_scale bit-for-bit in float32."""
+    h, w, _ = img01.shape
+    if tile - overlap <= 0:
+        raise ValueError(f"tile ({tile}) must exceed overlap ({overlap})")
 
-    stride = tile - overlap
-    ys = list(range(0, max(h - tile, 0) + 1, stride))
-    xs = list(range(0, max(w - tile, 0) + 1, stride))
-    if ys[-1] + tile < h:
-        ys.append(h - tile)
-    if xs[-1] + tile < w:
-        xs.append(w - tile)
+    # tile origins, comfy-style: range over the full size with clamping
+    def origins(size: int) -> List[int]:
+        seen, out = set(), []
+        for it in range(0, size, tile - overlap):
+            pos = max(0, min(size - overlap, it))
+            if pos not in seen:
+                seen.add(pos)
+                out.append(pos)
+        return out
 
-    out = np.zeros((h * scale, w * scale, c), np.float32)
-    div = np.zeros((h * scale, w * scale, 1), np.float32)
-    mask = _feather_mask(tile * scale, tile * scale, overlap * scale)
+    ys, xs = origins(h), origins(w)
+    feather = round(overlap * scale)
 
-    coords = [(y, x) for y in ys for x in xs]
-    for i in range(0, len(coords), batch_tiles):
-        batch = coords[i:i + batch_tiles]
-        tiles = np.stack([img01[y:y + tile, x:x + tile] for y, x in batch])
-        outs = np.asarray(model_fn(tiles), np.float32)
-        for (y, x), o in zip(batch, outs):
-            ys_, xs_ = y * scale, x * scale
-            out[ys_:ys_ + tile * scale, xs_:xs_ + tile * scale] += o * mask
-            div[ys_:ys_ + tile * scale, xs_:xs_ + tile * scale] += mask
-    return out / np.maximum(div, 1e-8)
+    out_h, out_w = round(h * scale), round(w * scale)
+    c_out = None
+    acc = None
+    div = None
+    masks: Dict[Tuple[int, int], np.ndarray] = {}
+
+    # group tiles by (lh, lw) so same-shape tiles batch through one compile
+    groups: Dict[Tuple[int, int], List[Tuple[int, int]]] = {}
+    for y in ys:
+        for x in xs:
+            lh, lw = min(tile, h - y), min(tile, w - x)
+            groups.setdefault((lh, lw), []).append((y, x))
+
+    for (lh, lw), coords in groups.items():
+        for i in range(0, len(coords), batch_tiles):
+            batch = coords[i:i + batch_tiles]
+            tiles = np.stack([img01[y:y + lh, x:x + lw] for y, x in batch])
+            outs = np.asarray(model_fn(tiles), np.float32)
+            if acc is None:
+                c_out = outs.shape[-1]
+                acc = np.zeros((out_h, out_w, c_out), np.float32)
+                div = np.zeros((out_h, out_w, 1), np.float32)
+            th, tw = outs.shape[1], outs.shape[2]
+            if (th, tw) not in masks:
+                masks[(th, tw)] = _comfy_feather_mask(th, tw, feather)
+            mask = masks[(th, tw)]
+            for (y, x), o in zip(batch, outs):
+                oy, ox = round(y * scale), round(x * scale)
+                acc[oy:oy + th, ox:ox + tw] += o * mask
+                div[oy:oy + th, ox:ox + tw] += mask
+    return acc / div
 
 
 def make_upscaler_fn(apply_fn, params, scale: int, tile: int = 512,
@@ -85,6 +118,6 @@ def make_upscaler_fn(apply_fn, params, scale: int, tile: int = 512,
         x = img_bgr_u8[..., ::-1].astype(np.float32) / 255.0
         out = tiled_scale(x, model, scale, tile, overlap)
         out = np.clip(out, 0.0, 1.0)
-        return (out[..., ::-1] * 255.0).round().astype(np.uint8)
+        return (out[..., ::-1] * 255.0).astype(np.uint8)
 
     return upscaler

@@ -235,12 +235,53 @@ def _install_diffusers_stub():
     sys.modules["diffusers.models.attention"] = da
 
 
+def install_real_gmflow():
+    """Alias the reference's real torch GMFlow package (no torchvision needed)
+    so `from wm_basicsr.archs.gmflow.gmflow.gmflow import GMFlow` resolves."""
+    leaf = "wm_basicsr.archs.gmflow.gmflow.gmflow"
+    if leaf in sys.modules:
+        return sys.modules[leaf]
+    pkg_dir = f"{REF_ROOT}/archs/gmflow"
+    if pkg_dir not in sys.path:
+        sys.path.insert(0, pkg_dir)
+    import importlib
+    real = importlib.import_module("gmflow.gmflow")
+    _install_stubs()
+    for name in ("wm_basicsr.archs.gmflow", "wm_basicsr.archs.gmflow.gmflow"):
+        if name not in sys.modules:
+            m = types.ModuleType(name)
+            m.__path__ = []
+            sys.modules[name] = m
+    sys.modules[leaf] = real
+    return real
+
+
+def load_ref_gmflow_arch():
+    """Load the reference's FlowGenerator wrapper (gmflow_arch.py:10-66) with
+    the REAL torch GMFlow underneath."""
+    install_real_gmflow()
+    _install_stubs()
+    return _module_from_file("wm_basicsr.archs.gmflow_arch",
+                             f"{REF_ROOT}/archs/gmflow_arch.py")
+
+
 def load_ref_keep(flow_stub=True):
-    """Load reference keep_arch.py with a zero-flow FlowGenerator stub (the
-    real GMFlow is golden-tested separately; KEEP parity uses explicit flows)."""
+    """Load reference keep_arch.py. flow_stub=True installs a zero-flow
+    FlowGenerator (the real GMFlow is golden-tested separately; KEEP parity
+    uses explicit flows); flow_stub=False wires the real torch GMFlow."""
     _install_stubs_arch_util()
     _install_diffusers_stub()
     load_ref_vqgan()
+    if not flow_stub:
+        existing = sys.modules.get("wm_basicsr.archs.gmflow_arch")
+        if existing is not None and not hasattr(existing.FlowGenerator, "model"):
+            # a zero-flow stub was registered earlier in this process; the
+            # real FlowGenerator builds `self.model = GMFlow()` in __init__
+            if not hasattr(existing, "__file__"):
+                raise RuntimeError(
+                    "zero-flow FlowGenerator stub already installed; "
+                    "load_ref_keep(flow_stub=False) needs a fresh process")
+        load_ref_gmflow_arch()
     if flow_stub and "wm_basicsr.archs.gmflow_arch" not in sys.modules:
         import torch
         from torch import nn
