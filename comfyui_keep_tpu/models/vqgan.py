@@ -370,7 +370,9 @@ def vq_indices(params, z):
     e = params["embedding"]
     z2 = jnp.sum(z * z, axis=-1, keepdims=True)
     e2 = jnp.sum(e * e, axis=-1)
-    ze = jnp.einsum("...c,nc->...n", z, e, preferred_element_type=jnp.float32)
+    ze = jnp.einsum("...c,nc->...n", z, e,
+                    preferred_element_type=jnp.promote_types(z.dtype,
+                                                             jnp.float32))
     d = z2 + e2 - 2.0 * ze
     return jnp.argmin(d, axis=-1), d
 

@@ -23,8 +23,9 @@ def scaled_dot_product_attention(q, k, v, scale: Optional[float] = None,
     """
     if scale is None:
         scale = q.shape[-1] ** -0.5
-    logits = jnp.einsum("...qd,...kd->...qk", q, k,
-                        preferred_element_type=jnp.float32) * scale
+    logits = jnp.einsum(
+        "...qd,...kd->...qk", q, k,
+        preferred_element_type=jnp.promote_types(q.dtype, jnp.float32)) * scale
     if bias is not None:
         logits = logits + bias
     if mask is not None:

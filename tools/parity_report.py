@@ -1,0 +1,818 @@
+#!/usr/bin/env python
+"""Real-checkpoint parity certification harness.
+
+Given the reference checkpoints (``KEEP-b76feb75.pth``, optionally
+``parsing_parsenet.pth`` / ``detection_Resnet50_Final.pth``), runs the five
+BASELINE configs through this framework and — when torch is importable and
+``/root/reference`` is mounted — through the actual PyTorch reference code
+(keep_arch.py / face_restoration_helper.py / keep_processor.py loaded from
+the reference tree), then emits a per-config PSNR/SSIM JSON report against
+the >=40 dB acceptance bar (BASELINE.md).
+
+The load path matches keep_model_loader.py:99-120: ``params_ema`` preference,
+``cross_fuse->cfa`` / ``fuse_convs_dict->cft`` remap, embedded flownet
+weights. Works equally with random-weight .pth files written in either torch
+serialization format (self-test: tests/test_parity_report.py).
+
+Usage:
+  python tools/parity_report.py --keep-ckpt KEEP-b76feb75.pth \
+      [--parsenet-ckpt parsing_parsenet.pth] \
+      [--retinaface-ckpt detection_Resnet50_Final.pth] \
+      [--input-image img.png] [--input-frames 'clip/*.png'] \
+      [--configs 1,2,3,4,5] [--frames 20] [--out parity_report.json]
+
+Without --input-image/--input-frames the harness uses seeded synthetic
+frames and a synthetic-landmark detector (detection geometry is then
+identical on both sides; detection itself is certified by its own golden
+tests). PSNR/SSIM are computed between the two frameworks' final uint8
+outputs per config; "pass" means PSNR >= the bar.
+"""
+import argparse
+import glob as globmod
+import json
+import os
+import sys
+import time
+import types
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+
+import numpy as np
+
+REF_ROOT = "/root/reference"
+PSNR_BAR_DB = 40.0
+
+
+# ---------------------------------------------------------------------------
+# synthetic inputs
+# ---------------------------------------------------------------------------
+
+def synth_image(rng, h, w):
+    """Deterministic structured image: smooth gradients + texture."""
+    yy, xx = np.mgrid[0:h, 0:w].astype(np.float32)
+    base = np.stack([
+        0.5 + 0.4 * np.sin(xx / 37.0) * np.cos(yy / 29.0),
+        0.5 + 0.4 * np.cos(xx / 23.0 + yy / 41.0),
+        0.5 + 0.4 * np.sin((xx + yy) / 53.0),
+    ], axis=-1)
+    noise = rng.random((h, w, 3), dtype=np.float32) * 0.25
+    return np.clip((base + noise) * 255.0 / 1.25, 0, 255).astype(np.uint8)
+
+
+def synth_clip(rng, t, h, w, shift=3):
+    """Clip of shifted crops of one larger image -> real inter-frame motion."""
+    big = synth_image(rng, h + shift * t, w + shift * t)
+    return [np.ascontiguousarray(big[i * shift:i * shift + h,
+                                     i * shift:i * shift + w])
+            for i in range(t)]
+
+
+def face_landmarks_at(template, scale, angle_deg, cx, cy):
+    t = template - template.mean(0)
+    th = np.deg2rad(angle_deg)
+    rot = np.array([[np.cos(th), -np.sin(th)], [np.sin(th), np.cos(th)]])
+    return (t @ rot.T) * scale + np.array([cx, cy])
+
+
+def detection_row(landmarks, score=0.999):
+    lm = np.asarray(landmarks, np.float32)
+    x1, y1 = lm.min(0) - 10
+    x2, y2 = lm.max(0) + 10
+    return np.concatenate([[x1, y1, x2, y2, score],
+                           lm.reshape(-1)]).astype(np.float32)
+
+
+def make_list_detector(rows_per_call):
+    """Detector returning precomputed (N, 15) rows, one call per frame."""
+    calls = [np.asarray(r, np.float32).reshape(-1, 15) for r in rows_per_call]
+    state = {"i": 0}
+
+    def detector(img_bgr, conf_threshold):
+        i = state["i"]
+        state["i"] = min(i + 1, len(calls) - 1)
+        return calls[i].copy()
+
+    return detector
+
+
+# ---------------------------------------------------------------------------
+# metrics
+# ---------------------------------------------------------------------------
+
+def psnr_ssim(a_u8, b_u8):
+    from comfyui_keep_tpu.metrics.psnr_ssim import calculate_psnr, calculate_ssim
+    a = np.asarray(a_u8, np.float64)
+    b = np.asarray(b_u8, np.float64)
+    return (float(calculate_psnr(a, b, crop_border=0)),
+            float(calculate_ssim(a, b, crop_border=0)))
+
+
+def seq_psnr_ssim(frames_a, frames_b):
+    vals = [psnr_ssim(a, b) for a, b in zip(frames_a, frames_b)]
+    return (float(np.mean([v[0] for v in vals])),
+            float(np.mean([v[1] for v in vals])))
+
+
+# ---------------------------------------------------------------------------
+# OUR side
+# ---------------------------------------------------------------------------
+
+def build_ours(args, cfg_overrides):
+    from comfyui_keep_tpu import api
+    pack = api.load_models(args.variant, keep_ckpt=args.keep_ckpt,
+                           use_cache=False, seed=args.seed,
+                           cfg_overrides=cfg_overrides)
+    if args.np_dtype == "float64":
+        # f64 certification mode: weights are f32-valued (exact in f64);
+        # casting makes every op run in f64 arithmetic on both sides
+        import jax
+        cast = lambda a: np.asarray(a, np.float64)
+        pack.keep_params = jax.tree.map(cast, pack.keep_params)
+        if pack.gmflow_params is not None:
+            pack.gmflow_params = jax.tree.map(cast, pack.gmflow_params)
+    return pack
+
+
+def our_parser(args, face_size):
+    if args.parsenet_ckpt:
+        import jax.numpy as jnp
+        from comfyui_keep_tpu.models.parsenet import (ParseNet,
+                                                      convert_parsenet_checkpoint)
+        from comfyui_keep_tpu.utils.checkpoint import read_pth
+        tree = convert_parsenet_checkpoint(read_pth(args.parsenet_ckpt))
+
+        def parser(x):  # (1, S, S, 3) rgb [-1, 1] -> (1, S, S, 19)
+            mask, _ = ParseNet.apply(tree, jnp.asarray(x))
+            return np.asarray(mask)
+
+        return parser
+
+    def stub(x):
+        return synth_parse_logits(face_size, face_size)
+
+    return stub
+
+
+def synth_parse_logits(h, w):
+    yy, xx = np.mgrid[0:h, 0:w].astype(np.float32)
+    inside = (((xx - w / 2) / (w * 0.33)) ** 2 +
+              ((yy - h / 2) / (h * 0.38)) ** 2) < 1.0
+    logits = np.zeros((1, h, w, 19), np.float32)
+    logits[0, :, :, 0] = 5.0
+    logits[0, inside, 1] = 10.0
+    return logits
+
+
+# ---------------------------------------------------------------------------
+# REFERENCE side (torch; loaded from /root/reference)
+# ---------------------------------------------------------------------------
+
+class ReferenceSide:
+    """The reference's own code (keep_arch, face_restoration_helper,
+    keep_processor) running under torch with minimal environment stubs
+    (comfy progress bar, tiled_scale adapter, image conversions)."""
+
+    def __init__(self, args, cfg, has_flownet):
+        import torch
+        self.torch = torch
+        self.cfg = cfg
+        self.use_double = args.np_dtype == "float64"
+        from tests import reference_oracle as oracle
+        self.oracle = oracle
+        self._install_env_stubs()
+        keep_mod = oracle.load_ref_keep(flow_stub=not has_flownet)
+        self.net = keep_mod.KEEP(**self._ref_kwargs(cfg)).eval()
+        if args.keep_ckpt:
+            self._load_ckpt(args.keep_ckpt, strict=has_flownet)
+        if self.use_double:
+            self.net = self.net.double()
+        self.helper_mod = oracle._module_from_file(
+            "ref_parity_frh",
+            f"{REF_ROOT}/modules/deps/wm_facelib/utils/face_restoration_helper.py")
+        self.kp = self._load_keep_processor()
+        self.ref_parsenet = self._load_parsenet(args)
+
+    @staticmethod
+    def _ref_kwargs(cfg):
+        kw = {k: cfg[k] for k in (
+            "img_size", "nf", "res_blocks", "codebook_size", "emb_dim",
+            "beta", "dim_embd", "n_head", "n_layers", "latent_size",
+            "cfa_nhead", "cfa_dim", "kalman_attn_head_dim",
+            "num_uncertainty_layers", "cond", "cross_residual", "mask_ratio")}
+        kw["ch_mult"] = list(cfg["ch_mult"])
+        kw["attn_resolutions"] = list(cfg["attn_resolutions"])
+        kw["cft_list"] = list(cfg["cft_list"])
+        kw["cfa_list"] = list(cfg["cfa_list"])
+        kw["temp_reg_list"] = list(cfg["temp_reg_list"])
+        return kw
+
+    def _load_ckpt(self, path, strict):
+        """keep_model_loader.py:105-120 semantics."""
+        torch = self.torch
+        from comfyui_keep_tpu.utils.checkpoint import read_pth
+        sd_np = read_pth(path)
+        sd = {}
+        for k, v in sd_np.items():
+            k = k.replace("cross_fuse", "cfa").replace("fuse_convs_dict", "cft")
+            sd[k] = torch.tensor(np.asarray(v))
+        missing, unexpected = self.net.load_state_dict(sd, strict=False)
+        dropped = [k for k in unexpected]
+        lost = [k for k in missing if not k.startswith("flownet.")]
+        if strict and (dropped or lost):
+            raise RuntimeError(f"ref load mismatch: missing={lost[:5]} "
+                               f"unexpected={dropped[:5]}")
+
+    def _install_env_stubs(self):
+        torch = self.torch
+        import cv2
+
+        def _tv_normalize(t, mean, std, inplace=False):
+            mean = torch.tensor(mean).view(-1, 1, 1)
+            std = torch.tensor(std).view(-1, 1, 1)
+            if inplace:
+                t.sub_(mean).div_(std)
+                return t
+            return (t - mean) / std
+
+        for name in ("torchvision", "torchvision.transforms",
+                     "torchvision.transforms.functional"):
+            if name not in sys.modules:
+                sys.modules[name] = types.ModuleType(name)
+        sys.modules["torchvision.transforms.functional"].normalize = _tv_normalize
+
+        # comfy: ProgressBar noop + tiled_scale adapter over our bit-faithful
+        # reimplementation (pipeline/tiled.py), same comfy semantics
+        from comfyui_keep_tpu.pipeline.tiled import tiled_scale as np_tiled
+
+        def comfy_tiled_scale(img_bchw, fn, tile_x=512, tile_y=512,
+                              overlap=64, upscale_amount=1):
+            assert tile_x == tile_y, "parity harness uses square tiles"
+            x = img_bchw.detach().cpu().numpy()[0].transpose(1, 2, 0)
+
+            def model_fn(tiles_nhwc):
+                t = torch.tensor(tiles_nhwc.transpose(0, 3, 1, 2))
+                with torch.no_grad():
+                    out = fn(t)
+                return out.detach().cpu().numpy().transpose(0, 2, 3, 1)
+
+            out = np_tiled(x, model_fn, upscale_amount, tile=tile_x,
+                           overlap=overlap)
+            return torch.tensor(out.transpose(2, 0, 1)[None])
+
+        for name in ("comfy", "comfy.model_management", "comfy.utils"):
+            if name not in sys.modules:
+                sys.modules[name] = types.ModuleType(name)
+        cu = sys.modules["comfy.utils"]
+        cu.ProgressBar = lambda *a, **k: types.SimpleNamespace(
+            update=lambda *a: None)
+        cu.tiled_scale = comfy_tiled_scale
+        sys.modules["comfy.model_management"].get_torch_device = lambda: "cpu"
+
+        # wm_basicsr.utils.img_util / video_util used by keep_processor
+        def img2tensor(img, bgr2rgb=True, float32=True):
+            img = img.astype(np.float32) if float32 else img
+            if bgr2rgb:
+                img = cv2.cvtColor(img.astype(np.float32), cv2.COLOR_BGR2RGB)
+            return torch.from_numpy(img.transpose(2, 0, 1))
+
+        def tensor2img(tensor, rgb2bgr=True, min_max=(0, 1)):
+            t = tensor.squeeze(0).float().detach().cpu().clamp_(*min_max)
+            t = (t - min_max[0]) / (min_max[1] - min_max[0])
+            img = t.numpy().transpose(1, 2, 0)
+            if rgb2bgr:
+                img = cv2.cvtColor(img, cv2.COLOR_RGB2BGR)
+            return (img * 255.0).round().astype(np.uint8)
+
+        wu = types.ModuleType("wm_basicsr.utils.img_util")
+        wu.img2tensor = img2tensor
+        wu.tensor2img = tensor2img
+        sys.modules["wm_basicsr.utils.img_util"] = wu
+        vu = types.ModuleType("wm_basicsr.utils.video_util")
+        vu.VideoReader = vu.VideoWriter = object
+        sys.modules["wm_basicsr.utils.video_util"] = vu
+
+        # wm_facelib package plumbing for the helper module
+        for name in ("wm_facelib", "wm_facelib.detection", "wm_facelib.parsing",
+                     "wm_facelib.utils"):
+            if name not in sys.modules:
+                m = types.ModuleType(name)
+                m.__path__ = []
+                sys.modules[name] = m
+        from tests.reference_oracle import _module_from_file
+        misc = _module_from_file(
+            "wm_facelib.utils.misc",
+            f"{REF_ROOT}/modules/deps/wm_facelib/utils/misc.py")
+        sys.modules["wm_facelib.utils.misc"] = misc
+        sys.modules["wm_facelib.detection"].init_detection_model = \
+            lambda *a, **k: None
+        sys.modules["wm_facelib.parsing"].init_parsing_model = \
+            lambda *a, **k: None
+        self._img2tensor, self._tensor2img = img2tensor, tensor2img
+        self._is_gray = misc.is_gray
+
+    def _load_keep_processor(self):
+        torch = self.torch
+        import cv2
+        import importlib.util
+        pkg = types.ModuleType("ref_parity_kp_pkg")
+        pkg.__path__ = []
+        utils = types.ModuleType("ref_parity_kp_pkg.utils")
+
+        def comfy_image_to_cv2(t):
+            if t.ndim == 3:
+                t = t.unsqueeze(0)
+            img = (t.cpu().numpy().squeeze(0) * 255).astype(np.uint8)
+            return cv2.cvtColor(img, cv2.COLOR_RGB2BGR)
+
+        def cv2_to_comfy_image(img):
+            rgb = cv2.cvtColor(img, cv2.COLOR_BGR2RGB).astype(np.float32) / 255.0
+            return torch.from_numpy(rgb).unsqueeze(0)
+
+        utils.comfy_image_to_cv2 = comfy_image_to_cv2
+        utils.cv2_to_comfy_image = cv2_to_comfy_image
+        sys.modules["ref_parity_kp_pkg"] = pkg
+        sys.modules["ref_parity_kp_pkg.utils"] = utils
+        spec = importlib.util.spec_from_file_location(
+            "ref_parity_kp_pkg.keep_processor",
+            f"{REF_ROOT}/modules/keep_processor.py")
+        mod = importlib.util.module_from_spec(spec)
+        sys.modules["ref_parity_kp_pkg.keep_processor"] = mod
+        spec.loader.exec_module(mod)
+        self._cv2_to_comfy = cv2_to_comfy_image
+        self._comfy_to_cv2 = comfy_image_to_cv2
+        return mod
+
+    def _load_parsenet(self, args):
+        if not args.parsenet_ckpt:
+            return None
+        torch = self.torch
+        from tests.reference_oracle import _module_from_file
+        pn = _module_from_file(
+            "ref_parity_parsenet",
+            f"{REF_ROOT}/modules/deps/wm_facelib/parsing/parsenet.py")
+        net = pn.ParseNet(in_size=512, out_size=512, parsing_ch=19).eval()
+        from comfyui_keep_tpu.utils.checkpoint import read_pth
+        sd = {k: torch.tensor(np.asarray(v))
+              for k, v in read_pth(args.parsenet_ckpt).items()}
+        net.load_state_dict(sd, strict=True)
+        return net
+
+    # -- runners ------------------------------------------------------------
+
+    def make_helper(self, face_size, upscale_factor, detector_rows, use_parse,
+                    parser_stub_size=None):
+        h = self.helper_mod.FaceRestoreHelper(
+            upscale_factor=upscale_factor, face_size=face_size,
+            use_parse=use_parse, device="cpu", model_rootpath="/tmp")
+        if detector_rows is not None:
+            det_fn = make_list_detector(detector_rows)
+            # numpy rows: get_face_landmarks_5 does numpy math on the result
+            # (face_restoration_helper.py:221-240)
+            h.face_detector = types.SimpleNamespace(detect_faces=det_fn)
+        if use_parse:
+            if self.ref_parsenet is not None:
+                h.face_parse = self.ref_parsenet
+            else:
+                torch = self.torch
+                size = parser_stub_size or face_size
+
+                class _Stub(torch.nn.Module):
+                    def forward(self, x):
+                        lg = synth_parse_logits(size, size)[0].transpose(2, 0, 1)
+                        return torch.tensor(lg)[None], None
+
+                h.face_parse = _Stub()
+        return h
+
+    def _net_callable(self):
+        """The net as the keep_processor calls it; in f64 mode the f32
+        pipeline tensors are cast at the net boundary (weights are f32-valued
+        so both frameworks run identical f64 programs)."""
+        if not self.use_double:
+            return self.net
+        net = self.net
+        torch = self.torch
+
+        def fwd(x, **kw):
+            # the reference pins a few internal constants to f32 via
+            # `.float()` (vqgan_arch.py:86 codebook one-hots, gmflow
+            # geometry.py:14 coordinate grids), which breaks double matmuls;
+            # inside the forward, `.float()` means "computation dtype"
+            orig_float = torch.Tensor.float
+            torch.Tensor.float = lambda t: t.to(torch.float64)
+            try:
+                return net(x.double(), **kw)
+            finally:
+                torch.Tensor.float = orig_float
+
+        return fwd
+
+    def make_processor(self, helper, bg_model=None, face_model=None):
+        pack = types.SimpleNamespace(
+            keep_net=self._net_callable(), face_helper=helper,
+            bg_upscale_model=bg_model, face_upscale_model=face_model,
+            device="cpu", model_type_str="KEEP")
+        return self.kp.KEEPFaceProcessor(pack)
+
+    def run_image(self, img_bgr, final_upscale, has_aligned, detector_rows,
+                  use_parse, bg_model=None, face_model=None,
+                  only_center_face=True):
+        helper = self.make_helper(self.cfg["img_size"], final_upscale,
+                                  detector_rows, use_parse)
+        proc = self.make_processor(helper, bg_model, face_model)
+        with self.torch.no_grad():
+            return proc.process_image(img_bgr, final_upscale, has_aligned,
+                                      only_center_face, False)
+
+    def run_net_chunked(self, faces_bgr, max_clip_length):
+        """The reference's stage-3 restore loop on an aligned face stream
+        (keep_processor.py:256-275: max_clip_length chunks, per-chunk state
+        reset, 1-frame chunks duplicated and frame 0 taken). This is the
+        right oracle for BASELINE config 3 — the reference's aligned
+        *sequence pipeline* discards restored faces and returns background
+        only (keep_processor.py:289-290), so run_sequence cannot certify the
+        restore math."""
+        torch = self.torch
+        from comfyui_keep_tpu.utils.image import bgr_u8_to_rgb_pm1
+        # identical f32 input prep on both sides, cast at the net boundary
+        x = np.stack([bgr_u8_to_rgb_pm1(f) for f in faces_bgr])
+        xt = torch.tensor(x.transpose(0, 3, 1, 2)).unsqueeze(0)
+        net = self._net_callable()
+        outs = []
+        n = xt.shape[1]
+        with torch.no_grad():
+            for s in range(0, n, max_clip_length):
+                clip = xt[:, s:min(s + max_clip_length, n)]
+                if clip.shape[1] == 1:
+                    clip = torch.cat([clip, clip], dim=1)
+                    outs.append(net(clip, need_upscale=False)[:, 0:1])
+                else:
+                    outs.append(net(clip, need_upscale=False))
+        allr = torch.cat(outs, dim=1).squeeze(0)
+        return [self._tensor2img(t, rgb2bgr=True, min_max=(-1, 1))
+                for t in allr]
+
+    def run_sequence(self, frames_bgr, final_upscale, has_aligned,
+                     detector_rows, use_parse, max_clip_length,
+                     only_center_face=True, bg_model=None, face_model=None):
+        torch = self.torch
+        helper = self.make_helper(self.cfg["img_size"], final_upscale,
+                                  detector_rows, use_parse)
+        proc = self.make_processor(helper, bg_model, face_model)
+        seq = torch.cat([self._cv2_to_comfy(f) for f in frames_bgr], dim=0)
+        with torch.no_grad():
+            out = proc.process_image_sequence(
+                seq, final_upscale, has_aligned, only_center_face, False,
+                max_clip_length)
+        return [self._comfy_to_cv2(out[i]) for i in range(out.shape[0])]
+
+
+# ---------------------------------------------------------------------------
+# shared deterministic 2x upscaler (config 5)
+# ---------------------------------------------------------------------------
+
+_BLUR_K = np.float32([[1, 2, 1], [2, 4, 2], [1, 2, 1]]) / 16.0
+
+
+def np_sr2x(tiles_nhwc):
+    """(N, h, w, C) [0,1] -> (N, 2h, 2w, C): nearest 2x + fixed 3x3 blur."""
+    x = tiles_nhwc.repeat(2, axis=1).repeat(2, axis=2)
+    xp = np.pad(x, ((0, 0), (1, 1), (1, 1), (0, 0)), mode="edge")
+    out = np.zeros_like(x)
+    for dy in range(3):
+        for dx in range(3):
+            out += _BLUR_K[dy, dx] * xp[:, dy:dy + x.shape[1],
+                                        dx:dx + x.shape[2]]
+    return out
+
+
+def make_our_upscaler(tile=512, overlap=64):
+    """u8 BGR -> u8 BGR, through OUR comfy-faithful tiled_scale (the
+    reference side runs the same net through ITS tiled path)."""
+    from comfyui_keep_tpu.pipeline.tiled import tiled_scale
+
+    def up(img_bgr_u8):
+        x = img_bgr_u8[..., ::-1].astype(np.float32) / 255.0
+        out = tiled_scale(x, np_sr2x, 2, tile=tile, overlap=overlap)
+        out = np.clip(out, 0.0, 1.0)
+        return (out[..., ::-1] * 255.0).astype(np.uint8)
+
+    return up
+
+
+def make_ref_upscaler_model():
+    import torch
+
+    def model(bchw):
+        x = bchw.detach().cpu().numpy().transpose(0, 2, 3, 1)
+        return torch.tensor(np_sr2x(x).transpose(0, 3, 1, 2))
+
+    return types.SimpleNamespace(model=model, scale=2)
+
+
+# ---------------------------------------------------------------------------
+# configs
+# ---------------------------------------------------------------------------
+
+def _load_input_image(args, rng, size):
+    import cv2
+    if args.input_image:
+        img = cv2.imread(args.input_image, cv2.IMREAD_COLOR)
+        if img is None:
+            raise FileNotFoundError(args.input_image)
+        return img
+    return synth_image(rng, int(size * 1.2), int(size * 1.2))
+
+
+def _load_input_frames(args, rng, t, size):
+    import cv2
+    if args.input_frames:
+        paths = sorted(globmod.glob(args.input_frames))[:t]
+        if not paths:
+            raise FileNotFoundError(args.input_frames)
+        return [cv2.imread(p, cv2.IMREAD_COLOR) for p in paths]
+    return synth_clip(rng, t, size, size)
+
+
+def run_config1(args, pack, ref, rng):
+    """Pre-aligned single 512 face (keep_processor.py:161-175)."""
+    import cv2
+    size = pack.keep_cfg["img_size"]
+    img = cv2.resize(_load_input_image(args, rng, size), (size, size),
+                     interpolation=cv2.INTER_LINEAR)
+    ours = pack.processor(args.np_dtype).process_image(
+        img, final_upscale_factor=1.0, has_aligned=True)
+    if ref is None:
+        return dict(psnr_db=None, ssim=None,
+                    notes="reference unavailable; ours-only run OK",
+                    out_shape=list(ours.shape))
+    theirs = ref.run_image(img, 1.0, True, None, use_parse=False)
+    p, s = psnr_ssim(ours, theirs)
+    return dict(psnr_db=p, ssim=s)
+
+
+def _detection_space(img_hw):
+    """Detection runs on read_image's output: min-side-512 upscale
+    (face_restoration_helper.py:172-184)."""
+    h, w = img_hw
+    f = max(1.0, 512.0 / min(h, w))
+    return h * f, w * f
+
+
+def _single_face_rows(template, size, img_hw, n_calls):
+    h, w = _detection_space(img_hw)
+    lm = face_landmarks_at(template, scale=0.82 * min(h, w) / 512.0,
+                           angle_deg=6.0, cx=w * 0.52, cy=h * 0.48)
+    return [detection_row(lm)[None] for _ in range(n_calls)]
+
+
+def run_config2(args, pack, ref, rng):
+    """Unaligned single image: detect -> align -> restore -> parse-mask
+    paste-back (keep_processor.py:134-194)."""
+    from comfyui_keep_tpu.facelib.helper import (FaceRestoreHelper,
+                                                 FFHQ_TEMPLATE_512)
+    size = pack.keep_cfg["img_size"]
+    img = _load_input_image(args, rng, size)
+    template = FFHQ_TEMPLATE_512 * (size / 512.0)
+    rows = None
+    if args.retinaface_ckpt:
+        detector = _real_detector(args)
+    else:
+        rows = _single_face_rows(FFHQ_TEMPLATE_512, size, img.shape[:2], 1)
+        detector = make_list_detector(rows)
+    parser = our_parser(args, size)
+    pack.face_helper = FaceRestoreHelper(face_size=size, detector=detector,
+                                         parser=parser, use_parse=True)
+    ours = pack.processor(args.np_dtype).process_image(
+        img, final_upscale_factor=1.0, has_aligned=False)
+    if ref is None:
+        return dict(psnr_db=None, ssim=None,
+                    notes="reference unavailable; ours-only run OK",
+                    out_shape=list(ours.shape))
+    if rows is None:
+        # real detector: reference side replays OUR detections (its own
+        # RetinaFace needs torchvision, absent here; detection parity is
+        # covered by the detector golden tests)
+        rows = [np.asarray(_real_detector(args)(
+            _read_for_detection(ref, img), 0.97))]
+    theirs = ref.run_image(img, 1.0, False, [r.copy() for r in rows],
+                           use_parse=True)
+    p, s = psnr_ssim(ours, theirs)
+    return dict(psnr_db=p, ssim=s)
+
+
+def _read_for_detection(ref, img):
+    helper = ref.make_helper(ref.cfg["img_size"], 1.0, None, False)
+    helper.read_image(img)
+    return helper.input_img
+
+
+def _real_detector(args):
+    from comfyui_keep_tpu.facelib.factory import init_detection_model
+    root = os.path.dirname(os.path.abspath(args.retinaface_ckpt))
+    return init_detection_model("retinaface_resnet50", model_rootpath=root)
+
+
+def run_config3(args, pack, ref, rng):
+    """Aligned T-frame clip: Kalman cross-frame propagation with
+    max_clip_length chunking (keep_processor.py:263-270)."""
+    import cv2
+    size = pack.keep_cfg["img_size"]
+    t = args.frames
+    frames = [cv2.resize(f, (size, size), interpolation=cv2.INTER_LINEAR)
+              for f in _load_input_frames(args, rng, t, size)]
+    proc = pack.processor(args.np_dtype)
+    ours = proc.restore_face_stream(frames, max_clip_length=args.clip)
+    ours = [f.astype(np.uint8) for f in ours]
+    if ref is None:
+        return dict(psnr_db=None, ssim=None,
+                    notes="reference unavailable; ours-only run OK",
+                    frames=len(ours))
+    theirs = ref.run_net_chunked(frames, max_clip_length=args.clip)
+    p, s = seq_psnr_ssim(ours, theirs)
+    return dict(psnr_db=p, ssim=s, frames=len(ours))
+
+
+def run_config4(args, pack, ref, rng):
+    """Multiface tracked sequence, interleaved batched restore
+    (keep_processor.py:196-307)."""
+    from comfyui_keep_tpu.facelib.helper import (FaceRestoreHelper,
+                                                 FFHQ_TEMPLATE_512)
+    size = pack.keep_cfg["img_size"]
+    t = min(args.frames, 5)
+    frames = _load_input_frames(args, rng, t, int(size * 1.3))
+    h, w = _detection_space(frames[0].shape[:2])
+    sc = min(h, w) / 512.0
+    rows = []
+    for i in range(t):
+        lm_a = face_landmarks_at(FFHQ_TEMPLATE_512, 0.35 * sc, 0.0,
+                                 w * 0.3 + 2 * i, h * 0.35)
+        lm_b = face_landmarks_at(FFHQ_TEMPLATE_512, 0.3 * sc, -5.0,
+                                 w * 0.7, h * 0.65 + 2 * i)
+        rows.append(np.stack([detection_row(lm_a), detection_row(lm_b)]))
+    parser = our_parser(args, size)
+    pack.face_helper = FaceRestoreHelper(
+        face_size=size, detector=make_list_detector(rows), parser=parser,
+        use_parse=True)
+    ours = pack.processor(args.np_dtype).process_image_sequence(
+        frames, final_upscale_factor=1.0, only_center_face=False,
+        max_clip_length=args.clip)
+    if ref is None:
+        return dict(psnr_db=None, ssim=None,
+                    notes="reference unavailable; ours-only run OK",
+                    frames=len(ours))
+    theirs = ref.run_sequence(frames, 1.0, False,
+                              [r.copy() for r in rows], use_parse=True,
+                              max_clip_length=args.clip,
+                              only_center_face=False)
+    p, s = seq_psnr_ssim(ours, theirs)
+    return dict(psnr_db=p, ssim=s, frames=len(ours))
+
+
+def run_config5(args, pack, ref, rng):
+    """bg + face upscalers + final_upscale_factor compositing
+    (keep_processor.py:126-132, 279-304)."""
+    from comfyui_keep_tpu.facelib.helper import (FaceRestoreHelper,
+                                                 FFHQ_TEMPLATE_512)
+    size = pack.keep_cfg["img_size"]
+    img = _load_input_image(args, rng, size)
+    rows = _single_face_rows(FFHQ_TEMPLATE_512, size, img.shape[:2], 1)
+    parser = our_parser(args, size)
+    pack.face_helper = FaceRestoreHelper(
+        face_size=size, detector=make_list_detector(rows), parser=parser,
+        use_parse=True)
+    pack.bg_upscaler = make_our_upscaler()
+    pack.face_upscaler = make_our_upscaler()
+    try:
+        ours = pack.processor(args.np_dtype).process_image(
+            img, final_upscale_factor=2.0, has_aligned=False)
+    finally:
+        pack.bg_upscaler = None
+        pack.face_upscaler = None
+    if ref is None:
+        return dict(psnr_db=None, ssim=None,
+                    notes="reference unavailable; ours-only run OK",
+                    out_shape=list(ours.shape))
+    theirs = ref.run_image(img, 2.0, False, [r.copy() for r in rows],
+                           use_parse=True,
+                           bg_model=make_ref_upscaler_model(),
+                           face_model=make_ref_upscaler_model())
+    p, s = psnr_ssim(ours, theirs)
+    return dict(psnr_db=p, ssim=s, out_shape=list(ours.shape))
+
+
+CONFIG_FNS = {1: run_config1, 2: run_config2, 3: run_config3,
+              4: run_config4, 5: run_config5}
+CONFIG_NAMES = {
+    1: "aligned single face",
+    2: "unaligned image: detect+align+restore+parse-paste",
+    3: "aligned sequence clip (Kalman propagation)",
+    4: "multiface tracked sequence",
+    5: "bg+face upscalers + final_upscale_factor compositing",
+}
+
+
+# ---------------------------------------------------------------------------
+# main
+# ---------------------------------------------------------------------------
+
+def torch_available():
+    try:
+        import torch  # noqa
+        return True
+    except Exception:
+        return False
+
+
+def main(argv=None):
+    p = argparse.ArgumentParser(description=__doc__)
+    p.add_argument("--keep-ckpt", default=None,
+                   help=".pth KEEP checkpoint (random init if omitted)")
+    p.add_argument("--parsenet-ckpt", default=None)
+    p.add_argument("--retinaface-ckpt", default=None)
+    p.add_argument("--variant", default="KEEP", choices=["KEEP", "Asian"])
+    p.add_argument("--configs", default="1,2,3,4,5")
+    p.add_argument("--frames", type=int, default=20)
+    p.add_argument("--clip", type=int, default=20, help="max_clip_length")
+    p.add_argument("--seed", type=int, default=0)
+    p.add_argument("--bar", type=float, default=PSNR_BAR_DB)
+    p.add_argument("--out", default="parity_report.json")
+    p.add_argument("--input-image", default=None)
+    p.add_argument("--input-frames", default=None, help="glob of clip frames")
+    p.add_argument("--cfg-json", default=None,
+                   help="JSON dict of KEEP cfg overrides (self-test)")
+    p.add_argument("--no-reference", action="store_true")
+    p.add_argument("--dtype", default="float32",
+                   choices=["float32", "bfloat16", "float64"],
+                   help="float64 = certification mode: both frameworks run "
+                        "the net in f64 so PSNR reflects structural parity, "
+                        "not fp32 noise amplified through deep random nets")
+    args = p.parse_args(argv)
+    args.np_dtype = None if args.dtype == "float32" else args.dtype
+    # The image's sitecustomize imports jax at interpreter startup with the
+    # axon/TPU platform, so JAX_PLATFORMS/JAX_ENABLE_X64 env vars are TOO
+    # LATE here; jax.config works until the first backend touch. Parity vs
+    # the torch reference REQUIRES the CPU backend — TPU matmuls/convs run
+    # bf16-ish by default, a deterministic ~1e-2 deviation that no dtype
+    # flag removes (tests/conftest.py documents the same trap).
+    import jax
+    jax.config.update("jax_platforms", "cpu")
+    if args.np_dtype == "float64":
+        jax.config.update("jax_enable_x64", True)
+
+    cfg_overrides = json.loads(args.cfg_json) if args.cfg_json else None
+    rng = np.random.default_rng(args.seed)
+
+    pack = build_ours(args, cfg_overrides)
+    has_flownet = pack.gmflow_params is not None
+
+    ref = None
+    ref_reason = None
+    if args.no_reference:
+        ref_reason = "disabled by --no-reference"
+    elif not torch_available():
+        ref_reason = "torch not importable"
+    elif not os.path.isdir(REF_ROOT):
+        ref_reason = f"{REF_ROOT} not mounted"
+    else:
+        ref = ReferenceSide(args, pack.keep_cfg, has_flownet)
+
+    report = {
+        "keep_ckpt": args.keep_ckpt,
+        "variant": args.variant,
+        "reference_run": ref is not None,
+        "reference_skip_reason": ref_reason,
+        "bar_psnr_db": args.bar,
+        "detector": ("retinaface_resnet50" if args.retinaface_ckpt
+                     else "synthetic-landmark stub (both sides)"),
+        "parser": ("parsenet" if args.parsenet_ckpt
+                   else "synthetic-mask stub (both sides)"),
+        "configs": {},
+    }
+    for c in [int(x) for x in args.configs.split(",") if x.strip()]:
+        t0 = time.time()
+        try:
+            res = CONFIG_FNS[c](args, pack, ref, rng)
+        except Exception as e:  # keep going; report the failure
+            res = dict(psnr_db=None, ssim=None, error=f"{type(e).__name__}: {e}")
+        res["name"] = CONFIG_NAMES[c]
+        res["seconds"] = round(time.time() - t0, 2)
+        if ref is not None:
+            res["pass"] = (res.get("psnr_db") is not None
+                           and res["psnr_db"] >= args.bar)
+        report["configs"][str(c)] = res
+        line = {k: res.get(k) for k in ("name", "psnr_db", "ssim", "pass",
+                                        "error", "seconds") if k in res}
+        print(f"config {c}: {json.dumps(line)}")
+
+    if ref is not None:
+        judged = [r for r in report["configs"].values() if "pass" in r]
+        report["all_pass"] = bool(judged) and all(r["pass"] for r in judged)
+    with open(args.out, "w") as f:
+        json.dump(report, f, indent=2)
+    print(f"wrote {args.out}")
+    return report
+
+
+if __name__ == "__main__":
+    main()
