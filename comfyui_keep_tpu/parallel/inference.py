@@ -56,13 +56,28 @@ def restore_chunks_parallel(keep_params, keep_cfg, faces_pm1: np.ndarray,
         flows = flow_from_clip(gm, x) if gm is not None else None
         return KEEP.apply(params, x, flows=flows, remat=False, **keep_cfg)
 
+    def fn_local(params, gm, x):
+        # single-chip multi-chunk serving: one jit, chunks streamed through
+        # a lax.map of B=1 bodies. Batching chunks on the batch axis instead
+        # (B=2) hits an XLA layout-assignment pathology in the scan-body
+        # convs (5x slower than B=1, docs/ROADMAP.md negative results); the
+        # map keeps every conv at the proven B=1 layouts and is bit-equal to
+        # sequential per-chunk calls.
+        def one(xc):
+            flows = (flow_from_clip(gm, xc[None])
+                     if gm is not None else None)
+            return KEEP.apply(params, xc[None], flows=flows, remat=False,
+                              **keep_cfg)[0]
+
+        return jax.lax.map(one, x)
+
     if mesh is not None:
         dp = NamedSharding(mesh, P("data"))
         repl = NamedSharding(mesh, P())
         jfn = jax.jit(fn, in_shardings=(repl, repl, dp), out_shardings=dp)
         x = jax.device_put(jnp.asarray(chunks, dtype), dp)
     else:
-        jfn = jax.jit(fn)
+        jfn = jax.jit(fn_local)
         x = jnp.asarray(chunks, dtype)
     out = jfn(keep_params, gmflow_params, x)
     out = np.asarray(out, np.float32).reshape(total, *faces_pm1.shape[1:])

@@ -20,20 +20,24 @@ import numpy as np
 
 
 def restore_stream_pipeline(keep_params, cfg: Dict, clips, mesh,
-                            scan_unroll: int = 1):
+                            gmflow_params=None, scan_unroll: int = 1):
     """Carried-state restoration of `clips` (N, B, T, H, W, 3) in [-1, 1]
     where T = n_dev * chunk_len; chunk d of every clip runs on mesh device d
     of axis 'seq' with the carry ring-passed from device d-1.
 
-    Zero flows (static-face approximation) — the boundary frame IS passed
-    along the ring, so a flow net can be slotted into `_chunk_fn` the same
-    way processor._restore_carry_fn does. Returns (N, B, T, H, W, 3).
+    With gmflow_params, each device computes real GMFlow flows for its chunk
+    — the previous chunk's last LQ frame rides the ring alongside the Kalman
+    carry, so the boundary flow (chunk frame 0 -> carried frame) is computed
+    exactly as host-side carried streaming does
+    (processor._restore_carry_fn). Without it, zero flows (static-face
+    approximation). Returns (N, B, T, H, W, 3).
     """
     import jax
     import jax.numpy as jnp
     from jax.experimental.shard_map import shard_map
     from jax.sharding import PartitionSpec as P
     from comfyui_keep_tpu.models.keep import KEEP
+    from comfyui_keep_tpu.models.gmflow import flow_from_clip
 
     n_dev = mesh.shape["seq"]
     n_clips, b, t = clips.shape[:3]
@@ -42,29 +46,41 @@ def restore_stream_pipeline(keep_params, cfg: Dict, clips, mesh,
     h, w = clips.shape[3], clips.shape[4]
     cfg = dict(cfg)
 
-    # carry pytree template: (prev_out, {res: cfa feat}) — zeros init
+    # ring state: ((prev_out, {res: cfa feat}), prev_chunk_last_lq_frame)
     from comfyui_keep_tpu.models.keep import arch_tables
     channels, _, _ = arch_tables(cfg)
     cfa_shapes = {f: (b, int(f), int(f), channels[f]) for f in cfg["cfa_list"]}
 
-    def zero_carry(dtype):
-        return (jnp.zeros((b, h, w, 3), dtype),
-                {f: jnp.zeros(s, dtype) for f, s in cfa_shapes.items()})
+    def zero_state(dtype):
+        return ((jnp.zeros((b, h, w, 3), dtype),
+                 {f: jnp.zeros(s, dtype) for f, s in cfa_shapes.items()}),
+                jnp.zeros((b, h, w, 3), dtype))
 
-    def _chunk_fn(params, xc, carry, is_first):
-        """One device's chunk: first-chunk (frame-0 unrolled) or carried."""
-        def first(_):
-            res, c = KEEP.apply(params, xc, remat=False, return_carry=True,
-                                scan_unroll=scan_unroll, **cfg)
-            return res, c
+    def _chunk_fn(params, xc, state, is_first):
+        """One device's chunk: first-chunk (frame-0 unrolled) or carried.
+        Both branches return (res, (carry, x_last))."""
+        x_last = xc[:, -1]
 
-        def cont(carry):
-            res, c = KEEP.apply(params, xc, carry=carry, remat=False,
+        def first(state):
+            flows = (flow_from_clip(gmflow_params, xc)
+                     if gmflow_params is not None else None)
+            res, c = KEEP.apply(params, xc, flows=flows, remat=False,
                                 return_carry=True, scan_unroll=scan_unroll,
                                 **cfg)
-            return res, c
+            return res, (c, x_last)
 
-        return jax.lax.cond(is_first, first, cont, carry)
+        def cont(state):
+            carry, prev_last = state
+            flows = None
+            if gmflow_params is not None:
+                ext = jnp.concatenate([prev_last[:, None], xc], axis=1)
+                flows = flow_from_clip(gmflow_params, ext)  # (B, tc, H, W, 2)
+            res, c = KEEP.apply(params, xc, flows=flows, carry=carry,
+                                remat=False, return_carry=True,
+                                scan_unroll=scan_unroll, **cfg)
+            return res, (c, x_last)
+
+        return jax.lax.cond(is_first, first, cont, state)
 
     def body(params, x_local):
         """x_local: (n_clips, B, tc, H, W, 3) — this device's chunk of every
@@ -92,7 +108,7 @@ def restore_stream_pipeline(keep_params, cfg: Dict, clips, mesh,
                 carry_out)
             return (carry_next, outs), None
 
-        init = (zero_carry(x_local.dtype),
+        init = (zero_state(x_local.dtype),
                 jnp.zeros((n_clips, b, tc, h, w, 3), x_local.dtype))
         (_, outs), _ = jax.lax.scan(tick, init, jnp.arange(n_ticks))
         return outs

@@ -170,3 +170,161 @@ def test_resnet50_shapes(rng):
     assert f2.shape == (1, 8, 8, 512)
     assert f3.shape == (1, 4, 4, 1024)
     assert f4.shape == (1, 2, 2, 2048)
+
+
+class TestDetectFacesComposed:
+    """Value-level golden for the COMPOSED detect_faces pipeline
+    (priors -> decode -> score filter -> sort -> NMS -> landmark ordering)
+    vs reference retinaface.py:208-252 on a fixed random-weight mobile0.25
+    net — exact (N, 15) agreement, not just shapes."""
+
+    @pytest.fixture(scope="class")
+    def ref_retinaface_mod(self):
+        import sys
+        import types
+
+        class _ILG(torch.nn.ModuleDict):
+            """Faithful mini torchvision IntermediateLayerGetter."""
+
+            def __init__(self, model, return_layers):
+                remaining = dict(return_layers)
+                layers = {}
+                for name, module in model.named_children():
+                    layers[name] = module
+                    remaining.pop(name, None)
+                    if not remaining:
+                        break
+                super().__init__(layers)
+                self.return_layers = dict(return_layers)
+
+            def forward(self, x):
+                out = {}
+                for name, module in self.items():
+                    x = module(x)
+                    if name in self.return_layers:
+                        out[self.return_layers[name]] = x
+                return out
+
+        def _tv_nms(boxes, scores, iou_threshold):
+            """torchvision.ops.nms oracle (pure torch)."""
+            order = scores.argsort(descending=True)
+            keep = []
+            while order.numel() > 0:
+                i = order[0]
+                keep.append(i.item())
+                if order.numel() == 1:
+                    break
+                rest = order[1:]
+                xx1 = torch.maximum(boxes[i, 0], boxes[rest, 0])
+                yy1 = torch.maximum(boxes[i, 1], boxes[rest, 1])
+                xx2 = torch.minimum(boxes[i, 2], boxes[rest, 2])
+                yy2 = torch.minimum(boxes[i, 3], boxes[rest, 3])
+                inter = (xx2 - xx1).clamp(min=0) * (yy2 - yy1).clamp(min=0)
+                a_i = (boxes[i, 2] - boxes[i, 0]) * (boxes[i, 3] - boxes[i, 1])
+                a_r = ((boxes[rest, 2] - boxes[rest, 0])
+                       * (boxes[rest, 3] - boxes[rest, 1]))
+                iou = inter / (a_i + a_r - inter)
+                order = rest[iou <= iou_threshold]
+            return torch.tensor(keep, dtype=torch.long)
+
+        oracle._install_stubs_arch_util()  # torchvision (+ops) stub
+        stubs = {}
+        for name in ("torchvision.models", "torchvision.models._utils",
+                     "comfy", "comfy.model_management",
+                     "wm_facelib", "wm_facelib.detection",
+                     "wm_facelib.detection.retinaface"):
+            if name not in sys.modules:
+                mod = types.ModuleType(name)
+                mod.__path__ = []
+                sys.modules[name] = mod
+                stubs[name] = mod
+        sys.modules["torchvision"].ops.nms = _tv_nms
+        sys.modules["torchvision.models._utils"].IntermediateLayerGetter = _ILG
+        if not hasattr(sys.modules["comfy.model_management"], "get_torch_device"):
+            sys.modules["comfy.model_management"].get_torch_device = lambda: "cpu"
+        sys.modules["wm_facelib.detection.matlab_cp2tform"] = _load(
+            "wm_facelib.detection.matlab_cp2tform",
+            f"{FACELIB}/detection/matlab_cp2tform.py")
+        sys.modules["wm_facelib.detection.align_trans"] = _load(
+            "wm_facelib.detection.align_trans", f"{FACELIB}/detection/align_trans.py")
+        sys.modules["wm_facelib.detection.retinaface.retinaface_net"] = _load(
+            "wm_facelib.detection.retinaface.retinaface_net",
+            f"{FACELIB}/detection/retinaface/retinaface_net.py")
+        sys.modules["wm_facelib.detection.retinaface.retinaface_utils"] = _load(
+            "wm_facelib.detection.retinaface.retinaface_utils",
+            f"{FACELIB}/detection/retinaface/retinaface_utils.py")
+        mod = _load("ref_retinaface_full",
+                    f"{FACELIB}/detection/retinaface/retinaface.py")
+        yield mod
+        for name in stubs:
+            sys.modules.pop(name, None)
+
+    def test_detect_faces_value_parity(self, ref_retinaface_mod, rng):
+        from comfyui_keep_tpu.models.retinaface import make_detector_fn
+        from comfyui_keep_tpu.utils.checkpoint import convert_state_dict
+        torch.manual_seed(7)
+        net = ref_retinaface_mod.RetinaFace(network_name="mobile0.25",
+                                            half=False).eval()
+        # at random init, eval-mode BatchNorms (zero mean / unit var running
+        # stats) collapse whole pyramid levels to constant features — every
+        # prior at that level then scores IDENTICALLY, and threshold/NMS
+        # ordering is undefined. Randomize the BN stats so the net stays
+        # alive and scores spread (49 unique values in the top 60).
+        g = torch.Generator().manual_seed(11)
+        with torch.no_grad():
+            for m in net.modules():
+                if isinstance(m, torch.nn.BatchNorm2d):
+                    m.running_mean.normal_(0.0, 0.05, generator=g)
+                    m.running_var.uniform_(0.8, 1.2, generator=g)
+                    m.weight.normal_(1.0, 0.2, generator=g)
+                    m.bias.normal_(0.0, 0.1, generator=g)
+        sd = {k: v.detach().numpy() for k, v in net.state_dict().items()
+              if not k.startswith("body.fc")}
+        params = convert_state_dict(sd)
+        det = make_detector_fn(params, network="mobile0.25", jit=False)
+
+        # structured synthetic image (gradients + blobs, not pure noise)
+        yy, xx = np.mgrid[0:256, 0:320].astype(np.float32)
+        img = np.stack([
+            127 + 100 * np.sin(xx / 23.0) * np.cos(yy / 17.0),
+            127 + 90 * np.cos((xx + yy) / 31.0),
+            (rng.random((256, 320)) * 255),
+        ], axis=-1).clip(0, 255).astype(np.uint8)
+
+        # random-weight scores cluster near 0.5 with ~1e-4 typical gaps; a
+        # fixed threshold inside the cluster flips borderline candidates on
+        # f32 noise (~1e-6). Pick the threshold at the LARGEST score gap in
+        # the upper half so both frameworks split identically, keeping the
+        # score filter genuinely exercised.
+        with torch.no_grad():
+            all_rows = net.detect_faces(img.astype(np.float32),
+                                        conf_threshold=0.0)
+        # stay within the top ~60 scores: their inter-score gaps (~1e-3) are
+        # orders above cross-framework f32 noise (~1e-5), so the filter, the
+        # sort order, and the NMS suppression cascade are all stable
+        scores = np.sort(all_rows[:, 4])[::-1]
+        top = scores[:60]
+        gaps = top[:-1] - top[1:]
+        gi = int(np.argmax(gaps[10:])) + 10  # keep >=10 candidates
+        thr = float((top[gi] + top[gi + 1]) / 2)
+        with torch.no_grad():
+            theirs = net.detect_faces(img.astype(np.float32),
+                                      conf_threshold=thr)
+        ours = det(img, conf_threshold=thr)
+        assert ours.shape == theirs.shape and ours.shape[1] == 15
+        assert ours.shape[0] > 0, "degenerate test: nothing survived NMS"
+        # rows may be locally permuted where scores tie within f32 noise;
+        # require a one-to-one match: every reference row has exactly one
+        # counterpart within 0.1 px (boxes + landmarks) and 1e-4 score
+        used = set()
+        for r in theirs:
+            d = np.abs(ours[:, :4] - r[:4]).max(axis=1)
+            j = int(np.argmin(d))
+            assert j not in used, "two reference rows matched one of ours"
+            used.add(j)
+            np.testing.assert_allclose(ours[j, :4], r[:4], atol=0.1,
+                                       rtol=1e-3)
+            np.testing.assert_allclose(ours[j, 5:], r[5:], atol=0.1,
+                                       rtol=1e-3)
+            np.testing.assert_allclose(ours[j, 4], r[4], atol=1e-4,
+                                       rtol=1e-4)

@@ -130,3 +130,72 @@ def test_ring_carry_pipeline_matches_host_streaming(rng):
         np.testing.assert_allclose(np.asarray(out[n]),
                                    np.concatenate(expected, axis=1),
                                    atol=1e-5, rtol=1e-5)
+
+
+def test_ring_carry_pipeline_with_gmflow_matches_flowed_host(rng):
+    """Flow-aware ring pipeline (VERDICT round-1 item 10): with
+    gmflow_params, parallel/sequence.py computes the same function as
+    carried-state host streaming WITH real GMFlow flows — the previous
+    chunk's last LQ frame rides the ring so the boundary flow matches
+    processor._restore_carry_fn exactly."""
+    import jax
+    import jax.numpy as jnp
+    from jax.sharding import Mesh
+    from comfyui_keep_tpu.models.keep import KEEP
+    from comfyui_keep_tpu.models.gmflow import GMFlow, flow_from_clip
+    from comfyui_keep_tpu.parallel.sequence import restore_stream_pipeline
+
+    tiny = dict(img_size=64, nf=32, ch_mult=(1, 2), res_blocks=1,
+                attn_resolutions=(32,), codebook_size=32, emb_dim=32,
+                dim_embd=32, n_head=4, n_layers=1, latent_size=1024,
+                cft_list=("64",), cfa_list=("32",), cfa_nhead=2, cfa_dim=8,
+                kalman_attn_head_dim=8, num_uncertainty_layers=1,
+                temp_reg_list=())
+    params = KEEP.init(jax.random.PRNGKey(0), **tiny)
+    gm = GMFlow.init(jax.random.PRNGKey(1))
+    n_dev = 2
+    mesh = Mesh(np.array(jax.devices()[:n_dev]), ("seq",))
+    n_clips, b, tc = 1, 1, 2
+    t = n_dev * tc
+    clips = jnp.asarray(rng.standard_normal(
+        (n_clips, b, t, 64, 64, 3), dtype=np.float32) * 0.3)
+
+    out = restore_stream_pipeline(params, tiny, clips, mesh,
+                                  gmflow_params=gm)
+    assert out.shape == clips.shape
+
+    # host-side reference: flowed carried-chunk streaming
+    # (processor._restore_carry_fn semantics)
+    for n in range(n_clips):
+        flows0 = flow_from_clip(gm, clips[n, :, :tc])
+        res0, carry = KEEP.apply(params, clips[n, :, :tc], flows=flows0,
+                                 return_carry=True, **tiny)
+        expected = [np.asarray(res0)]
+        for d in range(1, n_dev):
+            xc = clips[n, :, d * tc:(d + 1) * tc]
+            ext = jnp.concatenate(
+                [clips[n, :, d * tc - 1][:, None], xc], axis=1)
+            flows = flow_from_clip(gm, ext)
+            res, carry = KEEP.apply(params, xc, flows=flows, carry=carry,
+                                    return_carry=True, **tiny)
+            expected.append(np.asarray(res))
+        np.testing.assert_allclose(np.asarray(out[n]),
+                                   np.concatenate(expected, axis=1),
+                                   atol=2e-5, rtol=1e-5)
+
+
+def test_single_chip_chunk_stream_bitwise(rng):
+    """Single-chip multi-clip serving (VERDICT round-1 item 5): with
+    mesh=None, restore_chunks_parallel streams stacked chunks through one
+    jit via a lax.map of B=1 bodies (avoiding the B=2 scan-conv layout
+    pathology) — outputs BIT-equal to sequential per-chunk calls."""
+    from comfyui_keep_tpu.models.keep import KEEP
+    params = KEEP.init(jax.random.PRNGKey(0), **TINY)
+    # "two clips" = 4 chunks of 2 through one program, no mesh
+    faces = (rng.random((8, 64, 64, 3), dtype=np.float32) - 0.5)
+    out = restore_chunks_parallel(params, TINY, faces, max_clip_length=2,
+                                  mesh=None)
+    fn = jax.jit(lambda p, x: KEEP.apply(p, x, remat=False, **TINY))
+    for i in range(0, 8, 2):
+        seq = np.asarray(fn(params, jnp.asarray(faces[None, i:i + 2]))[0])
+        np.testing.assert_array_equal(out[i:i + 2], seq)
