@@ -186,48 +186,78 @@ def _sdpa(q, k, v, scale, bias=None):
     if (_HAVE_PALLAS and _on_tpu() and c % 128 == 0 and l % 128 == 0
             and (bias is None or q.shape[0] % bias.shape[0] == 0)):
         return attention_pallas(q, k, v, scale, bias=bias)
-    scores = jnp.einsum("blc,bmc->blm", q, k,
-                        preferred_element_type=jnp.float32) * scale
+    scores = jnp.einsum(
+        "blc,bmc->blm", q, k,
+        preferred_element_type=jnp.promote_types(q.dtype, jnp.float32)) * scale
     if bias is not None:
         scores = scores + jnp.tile(bias, (q.shape[0] // bias.shape[0], 1, 1))
     probs = jax.nn.softmax(scores, axis=-1).astype(v.dtype)
     return jnp.einsum("blm,bmc->blc", probs, v)
 
 
-def _attention_tokens(q, k, v, h, w, splits: int, shift: bool, mask):
-    """Single-head attention over (B, H*W, C) tokens with optional Swin
-    split/shift windows (transformer.py:8-105)."""
-    b, l, c = q.shape
-    scale = 1.0 / math.sqrt(c)
-    if splits > 1:
-        wsh, wsw = h // splits, w // splits
+def _prep_tokens(x, b, h, w, c, splits, shift):
+    """(B, H*W, C) tokens -> (B*splits², win, C) window layout. ONE layout
+    pass (roll + partition) per tensor — projections are position-independent
+    so they run inside window layout, cutting the per-sublayer layout traffic
+    3x vs partitioning q/k/v separately."""
+    t = x.reshape(b, h, w, c)
+    if shift:
+        t = jnp.roll(t, (-(h // splits // 2), -(w // splits // 2)),
+                     axis=(1, 2))
+    return split_windows(t, splits).reshape(
+        b * splits * splits, (h // splits) * (w // splits), c)
 
-        def prep(t):
-            t = t.reshape(b, h, w, c)
-            if shift:
-                t = jnp.roll(t, (-(wsh // 2), -(wsw // 2)), axis=(1, 2))
-            return split_windows(t, splits).reshape(b * splits * splits, wsh * wsw, c)
 
-        qs, ks_, vs = prep(q), prep(k), prep(v)
-        bias = jnp.asarray(mask, jnp.float32) if shift else None
-        out = _sdpa(qs, ks_, vs, scale, bias=bias)
-        out = merge_windows(out.reshape(b * splits * splits, wsh, wsw, c), splits)
-        if shift:
-            out = jnp.roll(out, (wsh // 2, wsw // 2), axis=(1, 2))
-        return out.reshape(b, l, c)
-    return _sdpa(q, k, v, scale)
+def _unprep_tokens(x, b, h, w, c, splits, shift):
+    t = merge_windows(x.reshape(b * splits * splits, h // splits,
+                                w // splits, c), splits)
+    if shift:
+        t = jnp.roll(t, (h // splits // 2, w // splits // 2), axis=(1, 2))
+    return t.reshape(b, h * w, c)
 
 
 def _tlayer_apply(p, source, target, h, w, splits, shift, mask):
-    q = source @ p["q_proj"]["w"]
-    k = target @ p["k_proj"]["w"]
-    v = target @ p["v_proj"]["w"]
-    msg = _attention_tokens(q, k, v, h, w, splits, shift, mask)
+    """One transformer sublayer (transformer.py:8-105). q/k/v projections
+    are fused into a single matmul (qkv for self-attention where
+    target IS source, kv for cross) and run in window layout."""
+    b, l, c = source.shape
+    scale = 1.0 / math.sqrt(c)
+    self_attn = target is source
+
+    if splits > 1:
+        sw = _prep_tokens(source, b, h, w, c, splits, shift)
+        if self_attn:
+            qkv = sw @ jnp.concatenate(
+                [p["q_proj"]["w"], p["k_proj"]["w"], p["v_proj"]["w"]], axis=1)
+            q, k, v = jnp.split(qkv, 3, axis=-1)
+        else:
+            tw = _prep_tokens(target, b, h, w, c, splits, shift)
+            q = sw @ p["q_proj"]["w"]
+            kv = tw @ jnp.concatenate([p["k_proj"]["w"], p["v_proj"]["w"]],
+                                      axis=1)
+            k, v = jnp.split(kv, 2, axis=-1)
+        bias = jnp.asarray(mask, jnp.float32) if shift else None
+        out = _sdpa(q, k, v, scale, bias=bias)
+        msg = _unprep_tokens(out, b, h, w, c, splits, shift)
+    else:
+        if self_attn:
+            qkv = source @ jnp.concatenate(
+                [p["q_proj"]["w"], p["k_proj"]["w"], p["v_proj"]["w"]], axis=1)
+            q, k, v = jnp.split(qkv, 3, axis=-1)
+        else:
+            q = source @ p["q_proj"]["w"]
+            kv = target @ jnp.concatenate([p["k_proj"]["w"], p["v_proj"]["w"]],
+                                          axis=1)
+            k, v = jnp.split(kv, 2, axis=-1)
+        msg = _sdpa(q, k, v, scale)
+
     msg = layer_norm(msg @ p["merge"]["w"], p["norm1"])
     if "mlp" in p:
-        msg = jnp.concatenate([source, msg], axis=-1)
-        msg = gelu(msg @ p["mlp"][0]["w"]) @ p["mlp"][2]["w"]
-        msg = layer_norm(msg, p["norm2"])
+        # concat([source, msg]) @ W1 == source @ W1[:c] + msg @ W1[c:] —
+        # skips materializing the (B, L, 2C) concat
+        w1 = p["mlp"][0]["w"]
+        hmid = gelu(source @ w1[:c] + msg @ w1[c:])
+        msg = layer_norm(hmid @ p["mlp"][2]["w"], p["norm2"])
     return source + msg
 
 
@@ -285,8 +315,10 @@ def global_correlation_softmax(f0, f1):
         corresp = corresp.reshape(b, h, w, 2)
         prob = None  # not materialized (unused by the serving path)
     else:
-        corr = jnp.einsum("blc,bmc->blm", t0, t1,
-                          preferred_element_type=jnp.float32) / math.sqrt(c)
+        corr = jnp.einsum(
+            "blc,bmc->blm", t0, t1,
+            preferred_element_type=jnp.promote_types(t0.dtype, jnp.float32),
+        ) / math.sqrt(c)
         prob = jax.nn.softmax(corr, axis=-1)
         corresp = jnp.einsum("blm,mk->blk", prob, grid).reshape(b, h, w, 2)
     # softmax expectation runs in f32; return in the feature dtype so the
@@ -357,8 +389,10 @@ def flow_attention(p, feature0, flow, local_window_radius: int = -1):
             [v, jnp.zeros(v.shape[:-1] + (c - 2,), v.dtype)], axis=-1)
         out = attention_pallas(q, k, v_pad, 1.0 / math.sqrt(c))[..., :2]
         return out.reshape(b, h, w, 2)
-    scores = jnp.einsum("blc,bmc->blm", q, k,
-                        preferred_element_type=jnp.float32) / math.sqrt(c)
+    scores = jnp.einsum(
+        "blc,bmc->blm", q, k,
+        preferred_element_type=jnp.promote_types(q.dtype, jnp.float32),
+    ) / math.sqrt(c)
     prob = jax.nn.softmax(scores, axis=-1).astype(v.dtype)
     return jnp.einsum("blm,bmc->blc", prob, v).reshape(b, h, w, 2)
 

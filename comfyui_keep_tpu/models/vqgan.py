@@ -248,12 +248,19 @@ def phase512_prepare(params, plan, kind: str, gen_start: Optional[int] = None):
             blocks[i] = {**p, "p512": {"w": w, "b": b}}
         elif spec[0] == "up":
             w, b = pp.pack_upconv3x3(_np(p["conv"]["w"]), _np(p["conv"]["b"]))
-            blocks[i] = {**p, "p512": {"w": w, "b": b}}
+            # packed->packed variant for ups that receive an already-packed
+            # level (multi-level tails run with no depth_to_space between
+            # levels)
+            kp2p, bp2p = pp.pack_upconv3x3_p2p(_np(p["conv"]["w"]),
+                                               _np(p["conv"]["b"]))
+            blocks[i] = {**p, "p512": {"w": w, "b": b},
+                         "p512_p2p": {"k": kp2p, "b": bp2p}}
         # "norm" uses its unpacked scale/bias directly
-        if "p512" in blocks[i]:
-            # device arrays, NOT numpy: numpy leaves re-upload host->HBM on
-            # every jitted call (catastrophic through the axon tunnel)
-            blocks[i]["p512"] = jax.tree.map(jnp.asarray, blocks[i]["p512"])
+        for pk in ("p512", "p512_p2p"):
+            if pk in blocks[i]:
+                # device arrays, NOT numpy: numpy leaves re-upload host->HBM
+                # on every jitted call (catastrophic through the axon tunnel)
+                blocks[i][pk] = jax.tree.map(jnp.asarray, blocks[i][pk])
     return {**params, "blocks": blocks}
 
 
@@ -310,10 +317,18 @@ def packed_generator_tail(params, plan, x, start: int):
     for j in range(start, len(plan)):
         spec, p = plan[j], params["blocks"][j]
         if spec[0] == "up":
-            if parity is not None:
+            if parity is None:
+                true_hw = (x.shape[-3] * 2, x.shape[-2] * 2)
+                x = pp.packed_upconv(x, p["p512"]["w"], p["p512"]["b"])
+            elif "p512_p2p" in p and parity == 1:
+                # packed level -> packed next level, no depth_to_space
+                true_hw = (true_hw[0] * 2, true_hw[1] * 2)
+                x = pp.packed_upconv_p2p(x, p["p512_p2p"]["k"],
+                                         p["p512_p2p"]["b"])
+            else:
                 x = pp.depth_to_space(x, parity)
-            true_hw = (x.shape[-3] * 2, x.shape[-2] * 2)
-            x = pp.packed_upconv(x, p["p512"]["w"], p["p512"]["b"])
+                true_hw = (x.shape[-3] * 2, x.shape[-2] * 2)
+                x = pp.packed_upconv(x, p["p512"]["w"], p["p512"]["b"])
             parity = 1
         elif spec[0] == "res":
             x = _packed_res_block(p, x, parity, true_hw)

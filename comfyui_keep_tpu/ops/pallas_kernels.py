@@ -173,31 +173,38 @@ def global_correlation_expectation_pallas(f0, f1, grid, block_q: int = 256,
 # fused single-head attention (GMFlow transformer windows / global attention)
 # ---------------------------------------------------------------------------
 
+_LOG2E = math.log2(math.e)
+
+
 def _attn_kernel(q_ref, k_ref, v_ref, o_ref, *, scale):
+    # softmax cost dominates this kernel (VPU transcendentals over the
+    # (bq, L) f32 score block vs ~1.4us of MXU work): exp is issued as the
+    # native exp2 with log2(e) folded into the matmul scale, and the
+    # normalization divides the (bq, D) output instead of the (bq, L) probs
     q = q_ref[0]
     k = k_ref[0]
     s = jax.lax.dot_general(q, k, (((1,), (1,)), ((), ())),
-                            preferred_element_type=jnp.float32) * scale
+                            preferred_element_type=jnp.float32) * (scale * _LOG2E)
     m = jnp.max(s, axis=1, keepdims=True)
-    p = jnp.exp(s - m)
-    p = p / jnp.sum(p, axis=1, keepdims=True)
+    p = jnp.exp2(s - m)
+    denom = jnp.sum(p, axis=1, keepdims=True)
     v = v_ref[0]
-    o_ref[0] = jnp.dot(p.astype(v.dtype), v,
-                       preferred_element_type=jnp.float32).astype(o_ref.dtype)
+    acc = jnp.dot(p.astype(v.dtype), v, preferred_element_type=jnp.float32)
+    o_ref[0] = (acc / denom).astype(o_ref.dtype)
 
 
 def _attn_bias_kernel(q_ref, k_ref, v_ref, b_ref, o_ref, *, scale):
     q = q_ref[0]
     k = k_ref[0]
     s = jax.lax.dot_general(q, k, (((1,), (1,)), ((), ())),
-                            preferred_element_type=jnp.float32) * scale
-    s = s + b_ref[0].astype(jnp.float32)
+                            preferred_element_type=jnp.float32) * (scale * _LOG2E)
+    s = s + b_ref[0].astype(jnp.float32) * _LOG2E
     m = jnp.max(s, axis=1, keepdims=True)
-    p = jnp.exp(s - m)
-    p = p / jnp.sum(p, axis=1, keepdims=True)
+    p = jnp.exp2(s - m)
+    denom = jnp.sum(p, axis=1, keepdims=True)
     v = v_ref[0]
-    o_ref[0] = jnp.dot(p.astype(v.dtype), v,
-                       preferred_element_type=jnp.float32).astype(o_ref.dtype)
+    acc = jnp.dot(p.astype(v.dtype), v, preferred_element_type=jnp.float32)
+    o_ref[0] = (acc / denom).astype(o_ref.dtype)
 
 
 def attention_pallas(q, k, v, scale: float, bias=None, block_q: int = None,

@@ -231,3 +231,96 @@ def packed_group_norm(x, params, true_hw: Tuple[int, int],
     if parity == 1:
         out = mask_parity1(out, c)
     return out
+
+
+# ---------------------------------------------------------------------------
+# Packed -> packed upconv (multi-level tails without depth_to_space)
+# ---------------------------------------------------------------------------
+
+# Per-dim weight-folding tables for nearest-2x-up + 3x3 SAME conv consuming a
+# PARITY-1 PACKED input and emitting a PARITY-1 PACKED output at 2x res.
+# Derivation (1D; output row r = 2j-1+p reads up rows r-1..r+1, up[s]=x[s//2],
+# parity-1 cell i holds rows {2i-1, 2i}: odd rows phase 0, even rows phase 1):
+#   even output cell j=2m   -> both source rows {x[2m-1], x[2m]} live in
+#                              input cell m (1-tap conv)
+#   odd  output cell j=2m+1 -> rows {x[2m], x[2m+1]} live in cells {m, m+1}
+#                              (2-tap conv)
+# F[tap, p, q] = length-3 coefficient vector over (w0, w1, w2).
+_FOLD_EVEN = np.zeros((1, 2, 2, 3), np.float64)
+_FOLD_EVEN[0, 0, 0] = (1, 1, 0)   # p0 <- (w0+w1) * phase-0 (odd row 2m-1)
+_FOLD_EVEN[0, 0, 1] = (0, 0, 1)   # p0 <- w2      * phase-1 (even row 2m)
+_FOLD_EVEN[0, 1, 0] = (1, 0, 0)   # p1 <- w0      * phase-0
+_FOLD_EVEN[0, 1, 1] = (0, 1, 1)   # p1 <- (w1+w2) * phase-1
+_FOLD_ODD = np.zeros((2, 2, 2, 3), np.float64)
+_FOLD_ODD[0, 0, 1] = (1, 1, 0)    # left cell m,  p0 <- (w0+w1) * phase-1
+_FOLD_ODD[0, 1, 1] = (1, 0, 0)    # left cell m,  p1 <- w0      * phase-1
+_FOLD_ODD[1, 0, 0] = (0, 0, 1)    # right cell m+1, p0 <- w2      * phase-0
+_FOLD_ODD[1, 1, 0] = (0, 1, 1)    # right cell m+1, p1 <- (w1+w2) * phase-0
+
+
+def pack_upconv3x3_p2p(w: np.ndarray, b: Optional[np.ndarray]):
+    """nearest-2x-up + 3x3 SAME conv, PARITY-1 PACKED input -> PARITY-1
+    PACKED output at 2x resolution, as FOUR plane kernels (output cells split
+    by row/col parity: ee (1,1), eo (1,2), oe (2,1), oo (2,2) taps on the
+    coarse grid). Same MAC count as `pack_upconv3x3` (16*H^2*Cin*Cout = 4/9
+    of the unpacked op) but no depth_to_space between packed levels."""
+    w = np.asarray(w)
+    cin, cout = w.shape[2], w.shape[3]
+    tables = {"e": _FOLD_EVEN, "o": _FOLD_ODD}
+    kernels = {}
+    for ry in "eo":
+        for rx in "eo":
+            fy, fx = tables[ry], tables[rx]
+            k = np.zeros((fy.shape[0], fx.shape[0], 4 * cin, 4 * cout),
+                         w.dtype)
+            for iy in range(fy.shape[0]):
+                for ix in range(fx.shape[0]):
+                    for py in range(2):
+                        for px in range(2):
+                            for qy in range(2):
+                                for qx in range(2):
+                                    coeff = np.outer(fy[iy, py, qy],
+                                                     fx[ix, px, qx])
+                                    if not coeff.any():
+                                        continue
+                                    blk = np.einsum("yx,yxio->io",
+                                                    coeff, w.astype(np.float64))
+                                    k[iy, ix,
+                                      (qy * 2 + qx) * cin:(qy * 2 + qx + 1) * cin,
+                                      (py * 2 + px) * cout:(py * 2 + px + 1) * cout] \
+                                        += blk.astype(w.dtype)
+            kernels[ry + rx] = k
+    pb = None if b is None else np.tile(np.asarray(b), 4)
+    return kernels, pb
+
+
+def _interleave(a_e, a_o, axis: int):
+    """Interleave n and n-1 slices -> 2n-1 (e0 o0 e1 o1 ... e_{n-1})."""
+    pad = [(0, 0)] * a_o.ndim
+    pad[axis] = (0, 1)
+    a_o = jnp.pad(a_o, pad)
+    st = jnp.stack([a_e, a_o], axis=axis + 1)
+    shape = list(a_e.shape)
+    n = shape[axis]
+    shape[axis] = 2 * n
+    out = st.reshape(shape)
+    return jax.lax.slice_in_dim(out, 0, 2 * n - 1, axis=axis)
+
+
+def packed_upconv_p2p(x, kernels, pb):
+    """parity-1 packed (B, Hc, Wc, 4Cin) at level L -> parity-1 packed
+    (B, 2Hc-1, 2Wc-1, 4Cout) at level 2L (true 2H x 2W with H = 2(Hc-1)).
+    Four plane convs + coarse-grid interleave; boundary pad half-cells of the
+    input must already be zero (maintained by mask_parity1 upstream)."""
+    conv = lambda k: jax.lax.conv_general_dilated(
+        x, k, (1, 1), [(0, 0), (0, 0)], dimension_numbers=_DN)
+    ee = conv(kernels["ee"])            # (B, Hc,   Wc,   4Cout)
+    eo = conv(kernels["eo"])            # (B, Hc,   Wc-1, 4Cout)
+    oe = conv(kernels["oe"])            # (B, Hc-1, Wc,   4Cout)
+    oo = conv(kernels["oo"])            # (B, Hc-1, Wc-1, 4Cout)
+    col_e = _interleave(ee, oe, axis=1)  # (B, 2Hc-1, Wc,   .)
+    col_o = _interleave(eo, oo, axis=1)  # (B, 2Hc-1, Wc-1, .)
+    out = _interleave(col_e, col_o, axis=2)  # (B, 2Hc-1, 2Wc-1, .)
+    if pb is not None:
+        out = out + pb
+    return mask_parity1(out, kernels["ee"].shape[-1] // 4)
