@@ -201,16 +201,22 @@ class KEEP:
         params — gradients must reach the canonical weights."""
         import os
         from comfyui_keep_tpu.models.vqgan import (phase512_prepare,
+                                                   phase_encoder_end,
                                                    phase_generator_start)
         cfg = {**DEFAULT_CFG, **cfg}
         if cfg["img_size"] != 512:
             return params
         enc_plan, gen_plan = _plans(cfg)
-        _, _, gen_tap = arch_tables(cfg)
+        _, enc_tap, gen_tap = arch_tables(cfg)
         out = dict(params)
-        out["encoder"] = phase512_prepare(params["encoder"], enc_plan, "encoder")
+        enc_levels = int(os.environ.get("KEEP_TPU_PHASE_ENC_LEVELS", "1"))
+        enc_end = phase_encoder_end(enc_plan, max_levels=enc_levels)
+        # CFT skip taps inside the packed prefix are depth_to_space'd at tap
+        # time (blocks_apply), so no fuse constraint applies to the encoder
+        out["encoder"] = phase512_prepare(params["encoder"], enc_plan,
+                                          "encoder", enc_end=enc_end)
         out["hq_encoder"] = phase512_prepare(params["hq_encoder"], enc_plan,
-                                             "encoder")
+                                             "encoder", enc_end=enc_end)
         fuse = {gen_tap[f] for f in (tuple(cfg["cft_list"])
                                      + tuple(cfg["cfa_list"])
                                      + tuple(cfg["temp_reg_list"]))}

@@ -179,6 +179,23 @@ def phase512_encoder_end(plan) -> Optional[int]:
     return None
 
 
+def phase_encoder_end(plan, max_levels: int = 1) -> Optional[int]:
+    """Index of the Downsample exiting the max_levels-th encoder level, if
+    every block up to it is packable (conv/res/down). Levels past the last
+    Downsample (the latent level with attention) are never packed."""
+    end = None
+    seen = 0
+    for i, s in enumerate(plan):
+        if s[0] == "down":
+            seen += 1
+            end = i
+            if seen == max_levels:
+                return end
+        elif s[0] not in ("conv", "res"):
+            return end
+    return end
+
+
 def phase512_generator_start(plan) -> Optional[int]:
     """Index of the final Upsample (into the 512 level), if the tail after it
     is packable (res/norm/conv only)."""
@@ -213,17 +230,19 @@ def phase_generator_start(plan, fuse_indices=(),
     return valid[0]
 
 
-def phase512_prepare(params, plan, kind: str, gen_start: Optional[int] = None):
+def phase512_prepare(params, plan, kind: str, gen_start: Optional[int] = None,
+                     enc_end: Optional[int] = None):
     """Host-side (numpy) weight packing for the phase-packed region; returns
     a new params tree with `p512` packed kernels alongside the originals.
     Serving-time only — trainers keep the unpacked path (gradients must
     reach the canonical weights). gen_start overrides the generator tail
-    start (e.g. phase_generator_start for multi-level packing)."""
+    start (e.g. phase_generator_start for multi-level packing); enc_end
+    overrides the encoder prefix end (phase_encoder_end for multi-level)."""
     from comfyui_keep_tpu.ops import phase_pack as pp
     import numpy as np
 
     if kind == "encoder":
-        end = phase512_encoder_end(plan)
+        end = enc_end if enc_end is not None else phase512_encoder_end(plan)
         rng = range(0, end + 1) if end is not None else range(0)
     else:
         start = gen_start if gen_start is not None else phase512_generator_start(plan)
@@ -245,7 +264,13 @@ def phase512_prepare(params, plan, kind: str, gen_start: Optional[int] = None):
                                        "conv2": {"w": w2, "b": b2}}}
         elif spec[0] == "down":
             w, b = pp.pack_downsample3x3(_np(p["conv"]["w"]), _np(p["conv"]["b"]))
-            blocks[i] = {**p, "p512": {"w": w, "b": b}}
+            # parity-0 variant for levels entered via space_to_depth (second
+            # and deeper packed encoder levels have no parity-flipping init
+            # conv, so their Downsample sees parity 0)
+            w0, b0 = pp.pack_downsample3x3_p0(_np(p["conv"]["w"]),
+                                              _np(p["conv"]["b"]))
+            blocks[i] = {**p, "p512": {"w": w, "b": b},
+                         "p512_p0": {"w": w0, "b": b0}}
         elif spec[0] == "up":
             w, b = pp.pack_upconv3x3(_np(p["conv"]["w"]), _np(p["conv"]["b"]))
             # packed->packed variant for ups that receive an already-packed
@@ -256,7 +281,7 @@ def phase512_prepare(params, plan, kind: str, gen_start: Optional[int] = None):
             blocks[i] = {**p, "p512": {"w": w, "b": b},
                          "p512_p2p": {"k": kp2p, "b": bp2p}}
         # "norm" uses its unpacked scale/bias directly
-        for pk in ("p512", "p512_p2p"):
+        for pk in ("p512", "p512_p2p", "p512_p0"):
             if pk in blocks[i]:
                 # device arrays, NOT numpy: numpy leaves re-upload host->HBM
                 # on every jitted call (catastrophic through the axon tunnel)
@@ -282,8 +307,14 @@ def _packed_res_block(p, x, parity: int, true_hw):
 
 def _packed_encoder_prefix(params, plan, x, end: int, taps, tap_indices,
                            remat: bool):
-    """Run blocks [0..end] (conv, res*, down) phase-packed; returns the
-    unpacked half-res feature map."""
+    """Run blocks [0..end] (conv, res*, down per level) phase-packed;
+    returns the unpacked feature map after the last packed Downsample.
+
+    Multi-level: each Downsample emits an unpacked half-res map; if more
+    packed blocks follow, it is re-packed via space_to_depth (one cheap
+    layout pass on an already-half-res tensor) and that level's res convs
+    run packed at parity 0 (its Downsample uses the parity-0 kernels — no
+    parity-flipping init conv exists past level 0)."""
     from comfyui_keep_tpu.ops import phase_pack as pp
     true_hw = (x.shape[-3], x.shape[-2])
     x = pp.space_to_depth(x)
@@ -299,9 +330,18 @@ def _packed_encoder_prefix(params, plan, x, end: int, taps, tap_indices,
                 fn = jax.checkpoint(_packed_res_block, static_argnums=(2, 3))
             x = fn(p, x, parity, true_hw)
         else:  # down
-            x = pp.packed_downsample(x, p["p512"]["w"], p["p512"]["b"])
+            if parity == 1:
+                x = pp.packed_downsample(x, p["p512"]["w"], p["p512"]["b"])
+            else:
+                x = pp.packed_downsample_p0(x, p["p512_p0"]["w"],
+                                            p["p512_p0"]["b"])
+            if i < end:  # deeper packed level follows: re-pack at half res
+                true_hw = (x.shape[-3], x.shape[-2])
+                x = pp.space_to_depth(x)
+                parity = 0
         if tap_indices is not None and i in tap_indices:
-            taps[i] = x if spec[0] == "down" else pp.depth_to_space(x, parity)
+            taps[i] = (pp.depth_to_space(x, parity)
+                       if spec[0] != "down" or i < end else x)
     return x
 
 
@@ -351,12 +391,19 @@ def blocks_apply(params, plan, x, tap_indices: Optional[Sequence[int]] = None,
     taps = {}
     i0 = 0
     first = params["blocks"][0] if params["blocks"] else None
-    if (isinstance(first, dict) and "p512" in first
-            and (stop_index is None or stop_index >= (phase512_encoder_end(plan) or 0))):
-        end = phase512_encoder_end(plan)
-        x = _packed_encoder_prefix(params, plan, x, end, taps, tap_indices,
-                                   remat)
-        i0 = end + 1
+    if isinstance(first, dict) and "p512" in first:
+        # packed prefix extent = the leading run of blocks carrying packed
+        # kernels, ending at a Downsample (single- or multi-level prepare)
+        end = None
+        for i, bp in enumerate(params["blocks"]):
+            if not (isinstance(bp, dict) and "p512" in bp):
+                break
+            if plan[i][0] == "down":
+                end = i
+        if end is not None and (stop_index is None or stop_index >= end):
+            x = _packed_encoder_prefix(params, plan, x, end, taps,
+                                       tap_indices, remat)
+            i0 = end + 1
     for i in range(i0, len(plan)):
         spec, p = plan[i], params["blocks"][i]
         fn = _block_apply

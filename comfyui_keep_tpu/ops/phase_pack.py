@@ -324,3 +324,32 @@ def packed_upconv_p2p(x, kernels, pb):
     if pb is not None:
         out = out + pb
     return mask_parity1(out, kernels["ee"].shape[-1] // 4)
+
+
+def pack_downsample3x3_p0(w: np.ndarray, b: Optional[np.ndarray]):
+    """(0,1,0,1)-pad stride-2 3x3 conv consuming a PARITY-0 packed input ->
+    (2,2,4Cin,Cout) kernel emitting an ordinary unpacked half-res map.
+
+    Derivation: out row j reads input rows {2j, 2j+1, 2j+2}; parity-0 cell i
+    holds rows {2i, 2i+1} (phase = row % 2), so taps land in cells {j, j+1}:
+    tap 0 <- (q0: w0, q1: w1), tap 1 <- (q0: w2). Use with coarse padding
+    (0,1),(0,1) — the virtual pad cell reproduces the op's bottom/right
+    zero pad."""
+    w = np.asarray(w)
+    cin = w.shape[2]
+    pw = np.zeros((2, 2, 4 * cin) + w.shape[3:], w.dtype)
+    for dy in range(3):
+        for dx in range(3):
+            ty, qy = (0, dy) if dy < 2 else (1, 0)
+            tx, qx = (0, dx) if dx < 2 else (1, 0)
+            pw[ty, tx, (qy * 2 + qx) * cin:(qy * 2 + qx + 1) * cin] += w[dy, dx]
+    return pw, (None if b is None else np.asarray(b))
+
+
+def packed_downsample_p0(x, pw, pb):
+    """parity-0 packed (B, Hc, Wc, 4C) -> unpacked (B, Hc, Wc, Cout)."""
+    out = jax.lax.conv_general_dilated(x, pw, (1, 1), [(0, 1), (0, 1)],
+                                       dimension_numbers=_DN)
+    if pb is not None:
+        out = out + pb
+    return out

@@ -195,3 +195,49 @@ class TestPackedPlans:
         prepared = KEEP.prepare_phase512(params, **cfg)
         got = KEEP.apply(prepared, x, remat=False, **cfg)
         np.testing.assert_allclose(got, ref, atol=5e-5)
+
+
+class TestMultiLevelEncoder:
+    def test_encoder_prefix_multilevel(self):
+        """Multi-level packed encoder prefix (512+256+... levels with
+        parity-0 packed deeper levels and p0 downsample kernels) == plain
+        blocks_apply, taps included. f64 exactness (summation order is the
+        only difference)."""
+        import jax.numpy as jnp
+        from comfyui_keep_tpu.models.vqgan import (
+            blocks_apply, blocks_init, encoder_plan, phase_encoder_end,
+            phase512_prepare)
+        jax.config.update("jax_enable_x64", True)
+        try:
+            plan = encoder_plan(3, 32, 32, (1, 2, 2, 4), 2, 64, (8,))
+            params = blocks_init(jax.random.PRNGKey(0), plan)
+            params = jax.tree.map(lambda a: a.astype(jnp.float64), params)
+            x = jax.random.normal(jax.random.PRNGKey(1),
+                                  (2, 64, 64, 3)).astype(jnp.float64)
+            tap_idx = [i for i, s in enumerate(plan) if s[0] == "res"][:4]
+            ref, rtaps = blocks_apply(params, plan, x, tap_indices=tap_idx)
+            for levels in (1, 2, 3):
+                end = phase_encoder_end(plan, max_levels=levels)
+                assert plan[end][0] == "down"
+                prepared = phase512_prepare(params, plan, "encoder",
+                                            enc_end=end)
+                got, gtaps = blocks_apply(prepared, plan, x,
+                                          tap_indices=tap_idx)
+                np.testing.assert_allclose(got, ref, atol=1e-10,
+                                           err_msg=f"levels={levels}")
+                for k in rtaps:
+                    np.testing.assert_allclose(gtaps[k], rtaps[k],
+                                               atol=1e-10,
+                                               err_msg=f"tap {k} lv {levels}")
+        finally:
+            jax.config.update("jax_enable_x64", False)
+
+    def test_phase_encoder_end(self):
+        from comfyui_keep_tpu.models.vqgan import (encoder_plan,
+                                                   phase_encoder_end)
+        plan = encoder_plan(3, 32, 32, (1, 2, 2, 4), 2, 64, (8,))
+        downs = [i for i, s in enumerate(plan) if s[0] == "down"]
+        assert phase_encoder_end(plan, 1) == downs[0]
+        assert phase_encoder_end(plan, 2) == downs[1]
+        # more levels than downs exist -> clamps to the last down
+        assert phase_encoder_end(plan, 99) == downs[-1]
