@@ -2,14 +2,19 @@
 """Benchmark: restored 512x512 faces/sec on one TPU chip.
 
 Config 3 of BASELINE.md: a 20-frame clip through the full KEEP network
-(cross-frame Kalman propagation, CFT+CFA fusion). Prints one JSON line.
-Baseline target: 60 faces/sec (driver BASELINE.json; the reference publishes
-no numbers — keep_arch.py:1194-1204 is a harness only).
+(cross-frame Kalman propagation, CFT+CFA fusion). Prints ONE JSON line on
+stdout. Baseline target: 60 faces/sec (driver BASELINE.json; the reference
+publishes no numbers — keep_arch.py:1194-1204 is a harness only).
 
-KEEP_TPU_BENCH_DTYPE=f32 switches off bfloat16 compute.
+Env knobs:
+  KEEP_TPU_BENCH_DTYPE=f32     f32 compute instead of bfloat16
+  KEEP_TPU_BENCH_VERBOSE=1     per-clip latency + config details on stderr
+  KEEP_TPU_NO_PHASE512=1       disable phase-packed conv stacks
+  KEEP_TPU_PHASE_LEVELS / KEEP_TPU_PHASE_ENC_LEVELS  packing depth
 """
 import json
 import os
+import sys
 import time
 
 import numpy as np
@@ -26,7 +31,7 @@ def main():
     params = jax.jit(lambda k: KEEP.init(k, **cfg))(jax.random.PRNGKey(0))
     params = jax.tree.map(lambda a: a.astype(dtype), params)
     if os.environ.get("KEEP_TPU_NO_PHASE512") != "1":
-        # phase-packed 512-level conv stacks (ops/phase_pack.py)
+        # phase-packed conv stacks (ops/phase_pack.py)
         params = KEEP.prepare_phase512(params, **cfg)
     gm = jax.jit(GMFlow.init)(jax.random.PRNGKey(2))
     gm = jax.tree.map(lambda a: a.astype(dtype), gm)
@@ -40,6 +45,13 @@ def main():
     out = fn(params, gm, x)
     np.asarray(out[0, -1, 0, 0, 0])  # force full execution (tunnel-safe)
 
+    # per-clip latency: enqueue one clip, fetch (includes one tunnel
+    # round-trip — the honest interactive-serving number)
+    lat_start = time.perf_counter()
+    out = fn(params, gm, x)
+    np.asarray(out[0, -1, 0, 0, 0])
+    latency_ms = (time.perf_counter() - lat_start) * 1000
+
     # throughput timing: enqueue all clips, force completion once at the end
     # (serving queues clips back-to-back; per-clip fetch would bill the
     # tunnel round-trip per iteration)
@@ -51,6 +63,16 @@ def main():
     elapsed = time.perf_counter() - start
 
     faces_per_sec = b * t * iters / elapsed
+    if os.environ.get("KEEP_TPU_BENCH_VERBOSE") == "1":
+        print(json.dumps({
+            "per_clip_latency_ms": round(latency_ms, 1),
+            "per_clip_throughput_ms": round(elapsed / iters * 1000, 1),
+            "dtype": str(dtype.__name__ if hasattr(dtype, "__name__") else dtype),
+            "phase512": os.environ.get("KEEP_TPU_NO_PHASE512") != "1",
+            "phase_levels": os.environ.get("KEEP_TPU_PHASE_LEVELS", "1"),
+            "phase_enc_levels": os.environ.get("KEEP_TPU_PHASE_ENC_LEVELS", "1"),
+            "backend": jax.default_backend(),
+        }), file=sys.stderr)
     print(json.dumps({
         "metric": "restored 512x512 faces/sec/chip (20-frame clip, KEEP full fwd)",
         "value": round(faces_per_sec, 3),

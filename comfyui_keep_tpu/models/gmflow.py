@@ -256,6 +256,17 @@ def _tlayer_apply(p, source, target, h, w, splits, shift, mask):
         # concat([source, msg]) @ W1 == source @ W1[:c] + msg @ W1[c:] —
         # skips materializing the (B, L, 2C) concat
         w1 = p["mlp"][0]["w"]
+        from comfyui_keep_tpu.ops.pallas_kernels import (_HAVE_PALLAS,
+                                                         _on_tpu,
+                                                         mlp_fused_pallas)
+        if (_HAVE_PALLAS and _on_tpu() and source.dtype == jnp.bfloat16
+                and c % 128 == 0 and w1.shape[1] % 128 == 0):
+            # fused kernel keeps the (bq, hidden) activation in VMEM
+            # (~640 MB HBM round-trip per MLP otherwise) and includes the
+            # LN + residual epilogue
+            return mlp_fused_pallas(source, msg, w1[:c], w1[c:],
+                                    p["mlp"][2]["w"], p["norm2"]["scale"],
+                                    p["norm2"]["bias"])
         hmid = gelu(source @ w1[:c] + msg @ w1[c:])
         msg = layer_norm(hmid @ p["mlp"][2]["w"], p["norm2"])
     return source + msg

@@ -173,3 +173,27 @@ def test_flash_correlation_expectation(rng):
     out = global_correlation_expectation_pallas(f0, f1, grid, interpret=True)
     np.testing.assert_allclose(np.asarray(out), np.asarray(ref),
                                atol=3e-5, rtol=1e-5)
+
+
+def test_mlp_fused_pallas_interpret(rng):
+    """Fused transformer-MLP kernel (interpret mode) == XLA reference:
+    src + layer_norm(gelu_tanh(src@W1a + msg@W1b) @ W2)."""
+    import jax.numpy as jnp
+    from comfyui_keep_tpu.ops.pallas_kernels import mlp_fused_pallas
+    from comfyui_keep_tpu.ops.norm import layer_norm
+
+    b, l, c, h = 2, 300, 128, 512
+    src = jnp.asarray(rng.standard_normal((b, l, c), dtype=np.float32))
+    msg = jnp.asarray(rng.standard_normal((b, l, c), dtype=np.float32))
+    w1a = jnp.asarray(rng.standard_normal((c, h), dtype=np.float32) * 0.05)
+    w1b = jnp.asarray(rng.standard_normal((c, h), dtype=np.float32) * 0.05)
+    w2 = jnp.asarray(rng.standard_normal((h, c), dtype=np.float32) * 0.05)
+    gamma = jnp.asarray(rng.standard_normal(c, dtype=np.float32))
+    beta = jnp.asarray(rng.standard_normal(c, dtype=np.float32))
+
+    got = mlp_fused_pallas(src, msg, w1a, w1b, w2, gamma, beta, block=128,
+                           interpret=True)
+    hmid = jax.nn.gelu(src @ w1a + msg @ w1b, approximate=True)
+    ref = src + layer_norm(hmid @ w2, {"scale": gamma, "bias": beta})
+    np.testing.assert_allclose(np.asarray(got), np.asarray(ref),
+                               atol=2e-4, rtol=1e-3)
