@@ -119,11 +119,15 @@ def restore_image(pack: KEEPModelPack, img_bgr: np.ndarray,
 def restore_sequence(pack: KEEPModelPack, frames_bgr, final_upscale_factor: float = 1.0,
                      has_aligned_frames: bool = False, only_center_face: bool = False,
                      draw_box: bool = False, max_clip_length: int = 20,
-                     dtype=None):
-    """KEEP Image Sequence node equivalent (nodes.py:91-136)."""
+                     carry_chunks: bool = False, dtype=None):
+    """KEEP Image Sequence node equivalent (nodes.py:91-136).
+    carry_chunks=True is the carried-state extension: the Kalman recurrence
+    streams across max_clip_length chunk boundaries instead of the
+    reference's per-chunk reset."""
     return pack.processor(dtype).process_image_sequence(
         frames_bgr, final_upscale_factor, has_aligned_frames,
-        only_center_face, draw_box, max_clip_length)
+        only_center_face, draw_box, max_clip_length,
+        carry_chunks=carry_chunks)
 
 
 # ComfyUI-compatible node descriptors (display parity with nodes.py:139-149)

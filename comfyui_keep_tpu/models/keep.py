@@ -353,6 +353,17 @@ class KEEP:
                 params, cfg, quant0,
                 {f: enc_feats[f][:, 0] for f in cfg["cft_list"]}, {}, first=True)
 
+            if profile_mode == "no_scan":
+                # pre/post attribution: everything except the scan (batched
+                # encoder + gain + frame-0 + output marshalling)
+                outs = jnp.broadcast_to(out0[:, None], (b, t) + out0.shape[1:])
+                outs = outs + 0 * gains.sum()  # keep the gain calc live
+                return KEEP._pack(outs, jnp.broadcast_to(
+                    logits0[:, None], (b, t) + logits0.shape[1:]),
+                    lq_feat, {f: jnp.broadcast_to(
+                        v[:, None], (b, t) + v.shape[1:])
+                        for f, v in gen_feats0.items()}, return_aux)
+
             if t == 1:
                 outs = out0[:, None]
                 logits = logits0[:, None]

@@ -210,6 +210,7 @@ class KEEPFaceProcessor:
                                only_center_face: bool = False,
                                draw_box: bool = False,
                                max_clip_length: int = 20,
+                               carry_chunks: bool = False,
                                progress: Optional[Callable] = None) -> List[np.ndarray]:
         """4-stage sequence restore (keep_processor.py:196-307): detect all →
         track+smooth → batch-restore in chunks → per-frame paste-back."""
@@ -274,7 +275,10 @@ class KEEPFaceProcessor:
                 progress(1)
 
         # stage 3: batched KEEP restore over the flattened face stream
-        restored = self.restore_face_stream(all_faces, max_clip_length) \
+        # (carry_chunks=True streams the Kalman state across chunk
+        # boundaries — the carried-state extension, off for reference parity)
+        restored = self.restore_face_stream(all_faces, max_clip_length,
+                                            carry_chunks=carry_chunks) \
             if all_faces else []
 
         # stage 4: per-frame bg upscale + paste
