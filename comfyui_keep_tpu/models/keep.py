@@ -207,7 +207,7 @@ class KEEP:
         if cfg["img_size"] != 512:
             return params
         enc_plan, gen_plan = _plans(cfg)
-        _, enc_tap, gen_tap = arch_tables(cfg)
+        _, _, gen_tap = arch_tables(cfg)
         out = dict(params)
         enc_levels = int(os.environ.get("KEEP_TPU_PHASE_ENC_LEVELS", "1"))
         enc_end = phase_encoder_end(enc_plan, max_levels=enc_levels)

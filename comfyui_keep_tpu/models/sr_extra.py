@@ -2,6 +2,7 @@
 (ridnet_arch.py), ECBSR (ecbsr_arch.py)."""
 import jax
 import jax.numpy as jnp
+import numpy as np
 
 from comfyui_keep_tpu.ops import conv2d, conv2d_init, relu, linear
 from comfyui_keep_tpu.models.sr_basic import (pixel_shuffle, _res_block_nobn,
@@ -152,9 +153,12 @@ class RIDNet:
 # ECBSR (training-form branch sum == re-parameterized conv numerically)
 # ---------------------------------------------------------------------------
 
-_SOBEL_X = jnp.asarray([[1, 0, -1], [2, 0, -2], [1, 0, -1]], jnp.float32)
+# plain numpy, NOT device arrays: a module-level jnp.asarray initializes
+# the JAX backend at import time, locking the platform before callers can
+# run jax.config.update("jax_platforms", ...)
+_SOBEL_X = np.asarray([[1, 0, -1], [2, 0, -2], [1, 0, -1]], np.float32)
 _SOBEL_Y = _SOBEL_X.T
-_LAPLACIAN = jnp.asarray([[0, 1, 0], [1, -4, 1], [0, 1, 0]], jnp.float32)
+_LAPLACIAN = np.asarray([[0, 1, 0], [1, -4, 1], [0, 1, 0]], np.float32)
 
 
 def _seqconv_init(key, kind, cin, cout, depth_multiplier=1.0):

@@ -20,16 +20,17 @@ def leaky_relu(x, negative_slope: float = 0.01):
     return jnp.where(x >= 0, x, x * negative_slope)
 
 
-def gelu(x, approximate: bool = False):
+def gelu(x, approximate=None):
     """torch F.gelu default is the exact erf form — used for f32 parity.
 
-    In bf16 the tanh approximation is numerically indistinguishable (max
-    |tanh-form - erf-form| ~ 1e-3 of the value vs bf16 resolution ~ 8e-3)
-    and the erf transcendental dominates VPU time on large MLPs (measured
-    4.8 -> ~2 ms per GMFlow-transformer MLP on v5e), so bf16 inputs take
-    the tanh form."""
-    if x.dtype == jnp.bfloat16:
-        approximate = True
+    approximate=None (default) is AUTO: bf16 inputs take the tanh form —
+    numerically indistinguishable there (max |tanh - erf| ~ 1e-3 of the
+    value vs bf16 resolution ~ 8e-3) while the erf transcendental dominates
+    VPU time on large MLPs (measured ~3 ms of the 4.8 ms GMFlow-transformer
+    MLP on v5e). Pass approximate=False explicitly to force erf for every
+    dtype."""
+    if approximate is None:
+        approximate = x.dtype == jnp.bfloat16
     return jax.nn.gelu(x, approximate=approximate)
 
 

@@ -1,6 +1,6 @@
 """Tiled upscaler inference with overlap feathering.
 
-Bit-faithful reimplementation of comfy.utils.tiled_scale as used by the
+Semantics-exact reimplementation of comfy.utils.tiled_scale as used by the
 reference (keep_processor.py:126-132: tile 512, overlap 64; also
 face_restoration_helper.py:97-125 _run_upscaler) and of RealESRGANer's tile
 loop (realesrgan_utils.py:118-176).
@@ -49,20 +49,20 @@ def tiled_scale(img01: np.ndarray, model_fn: Callable, scale: int,
                 batch_tiles: int = 4) -> np.ndarray:
     """img01: (H, W, C) float32 [0,1]; model_fn: (N, th, tw, C) -> (N, th*scale,
     tw*scale, C). Returns (round(H*scale), round(W*scale), C) float32
-    (unclamped), matching comfy.utils.tiled_scale bit-for-bit in float32."""
+    (unclamped), matching comfy.utils.tiled_scale's semantics exactly (the
+    shape-grouped accumulation can reorder float additions vs comfy's
+    row-major tile order where ragged and full tiles interleave; f32-equal
+    for the production 512/64 grid, golden-tested in test_tiled_comfy.py)."""
     h, w, _ = img01.shape
     if tile - overlap <= 0:
         raise ValueError(f"tile ({tile}) must exceed overlap ({overlap})")
 
-    # tile origins, comfy-style: range over the full size with clamping
+    # tile origins, comfy-style: range over the full size with clamping.
+    # Clamped DUPLICATE origins are kept — comfy accumulates the same tile
+    # repeatedly when tile < 2*overlap, which weights it more in the blend.
     def origins(size: int) -> List[int]:
-        seen, out = set(), []
-        for it in range(0, size, tile - overlap):
-            pos = max(0, min(size - overlap, it))
-            if pos not in seen:
-                seen.add(pos)
-                out.append(pos)
-        return out
+        return [max(0, min(size - overlap, it))
+                for it in range(0, size, tile - overlap)]
 
     ys, xs = origins(h), origins(w)
     feather = round(overlap * scale)

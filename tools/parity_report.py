@@ -559,7 +559,7 @@ def _detection_space(img_hw):
     return h * f, w * f
 
 
-def _single_face_rows(template, size, img_hw, n_calls):
+def _single_face_rows(template, img_hw, n_calls):
     h, w = _detection_space(img_hw)
     lm = face_landmarks_at(template, scale=0.82 * min(h, w) / 512.0,
                            angle_deg=6.0, cx=w * 0.52, cy=h * 0.48)
@@ -578,7 +578,7 @@ def run_config2(args, pack, ref, rng):
     if args.retinaface_ckpt:
         detector = _real_detector(args)
     else:
-        rows = _single_face_rows(FFHQ_TEMPLATE_512, size, img.shape[:2], 1)
+        rows = _single_face_rows(FFHQ_TEMPLATE_512, img.shape[:2], 1)
         detector = make_list_detector(rows)
     parser = our_parser(args, size)
     pack.face_helper = FaceRestoreHelper(face_size=size, detector=detector,
@@ -676,7 +676,7 @@ def run_config5(args, pack, ref, rng):
                                                  FFHQ_TEMPLATE_512)
     size = pack.keep_cfg["img_size"]
     img = _load_input_image(args, rng, size)
-    rows = _single_face_rows(FFHQ_TEMPLATE_512, size, img.shape[:2], 1)
+    rows = _single_face_rows(FFHQ_TEMPLATE_512, img.shape[:2], 1)
     parser = our_parser(args, size)
     pack.face_helper = FaceRestoreHelper(
         face_size=size, detector=make_list_detector(rows), parser=parser,
