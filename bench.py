@@ -35,6 +35,9 @@ def main():
         params = KEEP.prepare_phase512(params, **cfg)
     gm = jax.jit(GMFlow.init)(jax.random.PRNGKey(2))
     gm = jax.tree.map(lambda a: a.astype(dtype), gm)
+    if os.environ.get("KEEP_TPU_PACK_GMFLOW") == "1":
+        from comfyui_keep_tpu.models.gmflow import backbone_prepare_packed
+        gm = {**gm, "backbone": backbone_prepare_packed(gm["backbone"])}
     b, t = 1, 20
     x = (jax.random.normal(jax.random.PRNGKey(1), (b, t, 512, 512, 3)) * 0.3).astype(dtype)
 

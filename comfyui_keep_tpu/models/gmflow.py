@@ -72,13 +72,46 @@ def backbone_init(key, output_dim=128, num_output_scales=1):
     return p
 
 
+def backbone_prepare_packed(p):
+    """Serving-time weight prep: pack layer1's stride-1 3x3 convs (64 ch at
+    1/2 res — half the MXU lanes idle unpacked, the same shape pathology as
+    the VQGAN 512 level). Numerics-preserving up to float summation order."""
+    from comfyui_keep_tpu.ops import phase_pack as pp
+    layer1 = []
+    for rb in p["layer1"]:
+        w1, _ = pp.pack_conv3x3(np.asarray(rb["conv1"]["w"]), None)
+        w2, _ = pp.pack_conv3x3(np.asarray(rb["conv2"]["w"]), None)
+        layer1.append({**rb, "p512": {"conv1": jnp.asarray(w1),
+                                      "conv2": jnp.asarray(w2)}})
+    return {**p, "layer1": layer1}
+
+
+def _rb_apply_packed(rb, x, true_hw):
+    """Packed stride-1 same-channel residual block: conv-IN-relu x2 + add.
+    Entry/exit parity 0 (conv1 flips to 1, conv2 back)."""
+    from comfyui_keep_tpu.ops import phase_pack as pp
+    y = pp.packed_conv(x, rb["p512"]["conv1"], None, parity=0)
+    y = pp.packed_instance_norm(y, true_hw, parity=1, relu_after=True)
+    y = pp.packed_conv(y, rb["p512"]["conv2"], None, parity=1)
+    y = pp.packed_instance_norm(y, true_hw, parity=0, relu_after=True)
+    return jnp.maximum(x + y, 0)
+
+
 def backbone_apply(p, x, num_output_scales=1):
     """Returns a single (B, h, w, C) feature map (scales == 1, the KEEP
     path) or a high-to-low-res list of maps from the shared trident conv."""
     s3 = 2 if num_output_scales == 1 else 1
     x = relu(instance_norm(conv2d(x, p["conv1"]["w"], stride=2, padding=3)))
-    x = _rb_apply(p["layer1"][0], x, 1)
-    x = _rb_apply(p["layer1"][1], x, 1)
+    if "p512" in p["layer1"][0]:
+        from comfyui_keep_tpu.ops import phase_pack as pp
+        true_hw = (x.shape[-3], x.shape[-2])
+        xp = pp.space_to_depth(x)
+        xp = _rb_apply_packed(p["layer1"][0], xp, true_hw)
+        xp = _rb_apply_packed(p["layer1"][1], xp, true_hw)
+        x = pp.depth_to_space(xp)
+    else:
+        x = _rb_apply(p["layer1"][0], x, 1)
+        x = _rb_apply(p["layer1"][1], x, 1)
     x = _rb_apply(p["layer2"][0], x, 2)
     x = _rb_apply(p["layer2"][1], x, 1)
     x = _rb_apply(p["layer3"][0], x, s3)

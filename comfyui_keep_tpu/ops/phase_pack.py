@@ -353,3 +353,32 @@ def packed_downsample_p0(x, pw, pb):
     if pb is not None:
         out = out + pb
     return out
+
+
+def packed_instance_norm(x, true_hw: Tuple[int, int], eps: float = 1e-5,
+                         parity: int = 0, relu_after: bool = False):
+    """InstanceNorm2d(affine=False) over the ORIGINAL (H, W) geometry of a
+    packed tensor (torch default eps=1e-5; GMFlow backbone). Per-channel
+    stats fold the 4 phase copies; parity-1 pad half-cells stay zero, so
+    packed sums equal the true sums (divide by the true count)."""
+    c4 = x.shape[-1]
+    c = c4 // 4
+    n = true_hw[0] * true_hw[1]
+    ct = jnp.promote_types(x.dtype, jnp.float32)
+    xf = x.astype(ct)
+    s1 = jnp.sum(xf, axis=(-3, -2))
+    s2 = jnp.sum(jnp.square(xf), axis=(-3, -2))
+    s1 = s1.reshape(s1.shape[:-1] + (4, c)).sum(-2)
+    s2 = s2.reshape(s2.shape[:-1] + (4, c)).sum(-2)
+    mean = s1 / n
+    var = s2 / n - mean * mean
+    inv = jax.lax.rsqrt(var + eps)
+    scale = jnp.tile(inv, 4)[..., None, None, :]
+    shift = jnp.tile(-mean * inv, 4)[..., None, None, :]
+    out = xf * scale + shift
+    if relu_after:
+        out = jnp.maximum(out, 0)
+    out = out.astype(x.dtype)
+    if parity == 1:
+        out = mask_parity1(out, c)
+    return out

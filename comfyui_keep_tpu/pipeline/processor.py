@@ -49,6 +49,12 @@ class KEEPFaceProcessor:
             self.keep_params = KEEP.prepare_phase512(self.keep_params,
                                                      **self.keep_cfg)
         self.gmflow_params = gmflow_params
+        if (gmflow_params is not None
+                and os.environ.get("KEEP_TPU_PACK_GMFLOW") == "1"):
+            from comfyui_keep_tpu.models.gmflow import backbone_prepare_packed
+            self.gmflow_params = {
+                **gmflow_params,
+                "backbone": backbone_prepare_packed(gmflow_params["backbone"])}
         self.face_helper = face_helper
         self.bg_upscaler = bg_upscaler
         self.face_upscaler = face_upscaler

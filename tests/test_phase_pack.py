@@ -241,3 +241,24 @@ class TestMultiLevelEncoder:
         assert phase_encoder_end(plan, 2) == downs[1]
         # more levels than downs exist -> clamps to the last down
         assert phase_encoder_end(plan, 99) == downs[-1]
+
+
+def test_gmflow_backbone_packed_layer1():
+    """Packed GMFlow backbone layer1 (64-ch stride-1 res blocks with
+    instance norm) == unpacked, f64 exactness."""
+    import jax.numpy as jnp
+    from comfyui_keep_tpu.models.gmflow import (backbone_init, backbone_apply,
+                                                backbone_prepare_packed)
+    jax.config.update("jax_enable_x64", True)
+    try:
+        p = backbone_init(jax.random.PRNGKey(0))
+        p = jax.tree.map(lambda a: a.astype(jnp.float64), p)
+        x = jax.random.normal(jax.random.PRNGKey(1),
+                              (2, 64, 64, 3)).astype(jnp.float64)
+        ref = backbone_apply(p, x)
+        packed = backbone_prepare_packed(p)
+        got = backbone_apply(packed, x)
+        np.testing.assert_allclose(np.asarray(got), np.asarray(ref),
+                                   atol=1e-10)
+    finally:
+        jax.config.update("jax_enable_x64", False)
