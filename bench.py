@@ -44,7 +44,8 @@ def main():
     # the full reference forward: GMFlow over all frame pairs + KEEP
     # (keep_arch.py:1008-1145 includes get_flow)
     fn = jax.jit(lambda p, g, z: KEEP.apply(
-        p, z, flows=flow_from_clip(g, z), remat=False, scan_unroll=2, **cfg))
+        p, z, flows=flow_from_clip(g, z, planes=True), remat=False,
+        scan_unroll=2, **cfg))
     out = fn(params, gm, x)
     np.asarray(out[0, -1, 0, 0, 0])  # force full execution (tunnel-safe)
 

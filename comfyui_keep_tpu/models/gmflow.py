@@ -460,7 +460,15 @@ def upsampler_init(key, feature_channels=128, factor=8):
             conv2d_init(k2, 1, 1, 256, factor * factor * 9)]
 
 
-def upsample_flow_convex(p, flow, feature, factor: int = 8):
+def upsample_flow_convex(p, flow, feature, factor: int = 8,
+                         planes: bool = False):
+    """Convex ×factor flow upsampling (gmflow.py:67-90).
+
+    planes=False: (B, H*f, W*f, 2) interleaved, matching the reference.
+    planes=True: (fx, fy) each (B, H*f, W*f) — same values, no trailing
+    lane-dim-2 tensor is ever materialized at full resolution (the
+    interleaved layout is the same pathology class as the KEEP scan's
+    per-step flow slices, docs/ROADMAP.md)."""
     b, h, w, _ = flow.shape
     concat = jnp.concatenate([flow, feature], axis=-1)
     mask = conv2d(concat, p[0]["w"], p[0]["b"], padding=1)
@@ -469,6 +477,14 @@ def upsample_flow_convex(p, flow, feature, factor: int = 8):
     mask = mask.reshape(b, h, w, 9, factor * factor)
     mask = jax.nn.softmax(mask, axis=3)
     patches = _unfold_nhwc(flow * factor, 3, 1)  # (b, h, w, 9, 2)
+    if planes:
+        def shuffle(u):  # (b, h, w, f*f) -> (b, h*f, w*f) pixel shuffle
+            u = u.reshape(b, h, w, factor, factor)
+            return u.transpose(0, 1, 3, 2, 4).reshape(
+                b, h * factor, w * factor)
+        upx = jnp.einsum("bhwnk,bhwn->bhwk", mask, patches[..., 0])
+        upy = jnp.einsum("bhwnk,bhwn->bhwk", mask, patches[..., 1])
+        return shuffle(upx), shuffle(upy)
     up = jnp.einsum("bhwnk,bhwnc->bhwkc", mask, patches)  # (b,h,w,f*f,2)
     up = up.reshape(b, h, w, factor, factor, 2)
     up = up.transpose(0, 1, 3, 2, 4, 5).reshape(b, h * factor, w * factor, 2)
@@ -505,7 +521,8 @@ class GMFlow:
 
     @staticmethod
     def flow_from_features(params, f0, f1, attn_splits: int = 2,
-                           corr_radius: int = -1, prop_radius: int = -1):
+                           corr_radius: int = -1, prop_radius: int = -1,
+                           planes: bool = False):
         """Pair stages: transformer + correlation softmax + flow attention +
         convex upsample on precomputed backbone features.
 
@@ -525,7 +542,7 @@ class GMFlow:
                               jax.lax.stop_gradient(bar(flow)),
                               local_window_radius=prop_radius)
         return upsample_flow_convex(params["upsampler"], bar(flow), f0,
-                                    GMFlow.UPSAMPLE_FACTOR)
+                                    GMFlow.UPSAMPLE_FACTOR, planes=planes)
 
 
     @staticmethod
@@ -589,11 +606,16 @@ class GMFlow:
                                          prop_radius)
 
 
-def flow_from_clip(params, x, chunk: Optional[int] = None):
+def flow_from_clip(params, x, chunk: Optional[int] = None,
+                   planes: bool = False):
     """FlowGenerator-equivalent (gmflow_arch.py:10-66) for KEEP:
     x (B, T, H, W, 3) in [-1, 1] -> flows (B, T-1, H, W, 2), where
     flows[:, i] = GMFlow(frame_{i+1} -> frame_i), matching
-    keep_arch.py:976-986 (flownet(x_2, x_1))."""
+    keep_arch.py:976-986 (flownet(x_2, x_1)).
+
+    planes=True returns (fx, fy) each (B, T-1, H, W) — the layout
+    KEEP.apply's scan consumes directly (same values, no interleave /
+    de-interleave round trip at 512x512)."""
     b, t, h, w, _ = x.shape
     x255 = (x + 1.0) * 0.5 * 255.0
     # backbone once per frame (t passes, not 2*(t-1)): consecutive pairs
@@ -602,7 +624,11 @@ def flow_from_clip(params, x, chunk: Optional[int] = None):
     feats = feats.reshape((b, t) + feats.shape[1:])
     f0 = feats[:, 1:].reshape((b * (t - 1),) + feats.shape[2:])
     f1 = feats[:, :-1].reshape((b * (t - 1),) + feats.shape[2:])
-    flow = GMFlow.flow_from_features(params, f0, f1)
+    flow = GMFlow.flow_from_features(params, f0, f1, planes=planes)
+    if planes:
+        fx, fy = flow
+        return (jax.lax.stop_gradient(fx.reshape(b, t - 1, h, w)),
+                jax.lax.stop_gradient(fy.reshape(b, t - 1, h, w)))
     return jax.lax.stop_gradient(flow.reshape(b, t - 1, h, w, 2))
 
 

@@ -298,7 +298,10 @@ class KEEP:
         """x: (B, T, H, W, 3) in [-1, 1] -> (B, T, 512, 512, 3).
 
         flows: (B, T-1, H, W, 2) forward flows (frame i -> i-1 displacement
-        as produced by GMFlow(x_{i}, x_{i-1}), reference keep_arch.py:976-986).
+        as produced by GMFlow(x_{i}, x_{i-1}), reference keep_arch.py:976-986),
+        or a (fx, fy) tuple of (B, T-1, H, W) planes (flow_from_clip
+        planes=True) — the scan consumes planes, so the tuple form skips the
+        interleave/de-interleave round trip at full resolution.
         Zeros if None (static-face approximation / single image path).
 
         carry / return_carry (TPU-native extension, not in the reference —
@@ -317,8 +320,13 @@ class KEEP:
         h, w = x.shape[2], x.shape[3]
         if flows is None:
             n_flows = t if carry is not None else t - 1
-            flows = jnp.zeros((b, n_flows, h, w, 2), x.dtype)
-        flows = jax.lax.stop_gradient(flows)
+            fxs = fys = jax.lax.stop_gradient(
+                jnp.zeros((b, n_flows, h, w), x.dtype))
+        elif isinstance(flows, (tuple, list)):
+            fxs, fys = (jax.lax.stop_gradient(f) for f in flows)
+        else:
+            flows = jax.lax.stop_gradient(flows)
+            fxs, fys = flows[..., 0], flows[..., 1]
 
         enc_plan, _ = _plans(cfg)
 
@@ -418,8 +426,8 @@ class KEEP:
             jnp.moveaxis(gains[:, start:], 1, 0),
             # flow as dense x/y planes: the (..., 2) interleaved layout makes
             # the per-step xs slice + de-interleave cost ~1.2 ms at 512x512
-            jnp.moveaxis(flows[..., 0], 1, 0),
-            jnp.moveaxis(flows[..., 1], 1, 0),
+            jnp.moveaxis(fxs, 1, 0),
+            jnp.moveaxis(fys, 1, 0),
             {f: jnp.moveaxis(enc_feats[f][:, start:], 1, 0)
              for f in cfg["cft_list"]},
         )

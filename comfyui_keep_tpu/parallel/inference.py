@@ -53,7 +53,8 @@ def restore_chunks_parallel(keep_params, keep_cfg, faces_pm1: np.ndarray,
     chunks = faces_pm1[idx].reshape(n_chunks, L, *faces_pm1.shape[1:])
 
     def fn(params, gm, x):
-        flows = flow_from_clip(gm, x) if gm is not None else None
+        flows = (flow_from_clip(gm, x, planes=True)
+                 if gm is not None else None)
         return KEEP.apply(params, x, flows=flows, remat=False, **keep_cfg)
 
     def fn_local(params, gm, x):
@@ -64,7 +65,7 @@ def restore_chunks_parallel(keep_params, keep_cfg, faces_pm1: np.ndarray,
         # map keeps every conv at the proven B=1 layouts and is bit-equal to
         # sequential per-chunk calls.
         def one(xc):
-            flows = (flow_from_clip(gm, xc[None])
+            flows = (flow_from_clip(gm, xc[None], planes=True)
                      if gm is not None else None)
             return KEEP.apply(params, xc[None], flows=flows, remat=False,
                               **keep_cfg)[0]

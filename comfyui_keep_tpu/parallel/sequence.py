@@ -62,7 +62,7 @@ def restore_stream_pipeline(keep_params, cfg: Dict, clips, mesh,
         x_last = xc[:, -1]
 
         def first(state):
-            flows = (flow_from_clip(gmflow_params, xc)
+            flows = (flow_from_clip(gmflow_params, xc, planes=True)
                      if gmflow_params is not None else None)
             res, c = KEEP.apply(params, xc, flows=flows, remat=False,
                                 return_carry=True, scan_unroll=scan_unroll,
@@ -74,7 +74,8 @@ def restore_stream_pipeline(keep_params, cfg: Dict, clips, mesh,
             flows = None
             if gmflow_params is not None:
                 ext = jnp.concatenate([prev_last[:, None], xc], axis=1)
-                flows = flow_from_clip(gmflow_params, ext)  # (B, tc, H, W, 2)
+                flows = flow_from_clip(gmflow_params, ext,
+                                       planes=True)  # (fx, fy) (B,tc,H,W)
             res, c = KEEP.apply(params, xc, flows=flows, carry=carry,
                                 remat=False, return_carry=True,
                                 scan_unroll=scan_unroll, **cfg)

@@ -77,8 +77,10 @@ class KEEPFaceProcessor:
         gm = self.gmflow_params
 
         def fn(keep_params, gm_params, x):
-            flows = flow_from_clip(gm_params, x) if gm is not None else None
-            return KEEP.apply(keep_params, x, flows=flows, remat=False, **cfg)
+            flows = (flow_from_clip(gm_params, x, planes=True)
+                     if gm is not None else None)
+            return KEEP.apply(keep_params, x, flows=flows, remat=False,
+                              scan_unroll=2, **cfg)
 
         jitted = jax.jit(fn)
         self._fns[t] = jitted
@@ -100,17 +102,20 @@ class KEEPFaceProcessor:
 
         if first:
             def fn(keep_params, gm_params, x):
-                flows = flow_from_clip(gm_params, x) if gm is not None else None
+                flows = (flow_from_clip(gm_params, x, planes=True)
+                         if gm is not None else None)
                 return KEEP.apply(keep_params, x, flows=flows, remat=False,
-                                  return_carry=True, **cfg)
+                                  return_carry=True, scan_unroll=2, **cfg)
         else:
             def fn(keep_params, gm_params, x, prev_last, carry):
                 flows = None
                 if gm is not None:
                     ext = jnp.concatenate([prev_last[:, None], x], axis=1)
-                    flows = flow_from_clip(gm_params, ext)  # (B, t, H, W, 2)
+                    flows = flow_from_clip(gm_params, ext,
+                                           planes=True)  # (fx, fy)
                 return KEEP.apply(keep_params, x, flows=flows, remat=False,
-                                  carry=carry, return_carry=True, **cfg)
+                                  carry=carry, return_carry=True,
+                                  scan_unroll=2, **cfg)
         jitted = jax.jit(fn)
         self._fns[key] = jitted
         return jitted

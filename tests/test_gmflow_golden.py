@@ -166,3 +166,15 @@ def test_forward_backward_consistency_parity(rng):
         torch.tensor(b.transpose(0, 3, 1, 2)))
     np.testing.assert_array_equal(np.asarray(fo), rf.numpy())
     np.testing.assert_array_equal(np.asarray(bo), rb.numpy())
+
+
+def test_flow_from_clip_planes_exact(nets, rng):
+    """planes=True returns the same flow values as the interleaved form —
+    (fx, fy) == flow[..., 0/1] bit-exactly (same ops, different layout)."""
+    from comfyui_keep_tpu.models.gmflow import flow_from_clip
+    _, tree = nets
+    x = jnp.asarray(rng.random((1, 3, 64, 64, 3), dtype=np.float32) - 0.5)
+    inter = np.asarray(flow_from_clip(tree, x))
+    fx, fy = flow_from_clip(tree, x, planes=True)
+    np.testing.assert_array_equal(np.asarray(fx), inter[..., 0])
+    np.testing.assert_array_equal(np.asarray(fy), inter[..., 1])

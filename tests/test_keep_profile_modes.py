@@ -70,3 +70,14 @@ class TestCarriedState:
         _, carry = KEEP.apply(p, x, return_carry=True, **TINY)
         with pytest.raises(ValueError):
             KEEP.apply(p, x, carry=carry, profile_mode="no_hq", **TINY)
+
+
+def test_plane_flows_equal_interleaved(net):
+    """flows as an (fx, fy) tuple of planes == the (B,T-1,H,W,2) array form
+    (the serving path passes planes to skip the interleave round trip)."""
+    p, x, _ = net
+    flows = jax.random.normal(jax.random.PRNGKey(7), (1, 2, 64, 64, 2)) * 2
+    a = np.asarray(KEEP.apply(p, x, flows=flows, **TINY))
+    b = np.asarray(KEEP.apply(
+        p, x, flows=(flows[..., 0], flows[..., 1]), **TINY))
+    np.testing.assert_array_equal(a, b)

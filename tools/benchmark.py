@@ -54,7 +54,7 @@ def main():
         gm = jax.tree.map(lambda a: a.astype(dt),
                           jax.jit(GMFlow.init)(jax.random.PRNGKey(2)))
         fn = jax.jit(lambda p, g, z: KEEP.apply(
-            p, z, flows=flow_from_clip(g, z), remat=False,
+            p, z, flows=flow_from_clip(g, z, planes=True), remat=False,
             scan_unroll=args.scan_unroll, **cfg))
 
     out = fn(params, gm, x)
