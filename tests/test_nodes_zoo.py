@@ -24,6 +24,57 @@ def test_node_mappings_parity():
         schema = cls.INPUT_TYPES()
         assert "required" in schema
         assert hasattr(cls, "RETURN_TYPES") and hasattr(cls, "FUNCTION")
+        assert cls.CATEGORY == "ComfyUI-KEEP"  # nodes.py:35,65,109
+
+
+def test_node_schemas_reference_exact():
+    """Widget names / defaults / ranges match the reference nodes.py:19-106
+    so saved reference workflows load unchanged."""
+    loader = nodes.KEEP_ModelLoaderNode.INPUT_TYPES()
+    assert list(loader["required"]) == ["model", "detection_model"]
+    assert loader["required"]["model"][0] == ["KEEP", "Asian"]
+    assert loader["required"]["detection_model"][0] == [
+        "retinaface_resnet50", "retinaface_mobile0.25", "YOLOv5l", "YOLOv5n"]
+    assert list(loader["optional"]) == ["bg_upscale_model",
+                                        "face_upscale_model"]
+    assert nodes.KEEP_ModelLoaderNode.RETURN_NAMES == ("keep_model_pack",)
+
+    single = nodes.KEEP_FaceUpscaleImageNode.INPUT_TYPES()["required"]
+    assert list(single) == ["image", "keep_model", "final_upscale_factor",
+                            "has_aligned_face", "only_center_face",
+                            "draw_bounding_box"]
+    f = single["final_upscale_factor"][1]
+    assert (f["default"], f["min"], f["max"], f["step"]) == (1.0, 0.5, 4.0, 0.1)
+    assert single["only_center_face"][1]["default"] is True
+
+    seq = nodes.KEEP_ProcessImageSequenceNode.INPUT_TYPES()["required"]
+    assert list(seq) == ["images", "keep_model", "final_upscale_factor",
+                         "has_aligned_frames", "only_center_face",
+                         "draw_bounding_box", "max_clip_length"]
+    m = seq["max_clip_length"][1]
+    assert (m["default"], m["min"], m["max"]) == (20, 1, 100)
+    assert nodes.KEEP_ProcessImageSequenceNode.RETURN_NAMES == \
+        ("processed_images",)
+
+
+def test_node_error_trapping(rng):
+    """Execution nodes trap errors and return (None,) like the reference
+    (nodes.py:84-87, 131-134)."""
+    class BrokenPack:
+        detection_model = "retinaface_resnet50"
+
+        def load_device(self):
+            raise RuntimeError("boom")
+
+        def offload(self):
+            self.offloaded = True
+
+    pack = BrokenPack()
+    node = nodes.KEEP_FaceUpscaleImageNode()
+    img = rng.random((1, 8, 8, 3)).astype(np.float32)
+    assert node.upscale_face_image(img, pack, 1.0, False, True, False) == \
+        (None,)
+    assert pack.offloaded
 
 
 def test_single_image_node_roundtrip(rng):
@@ -31,7 +82,7 @@ def test_single_image_node_roundtrip(rng):
     pack.gmflow_params = None
     node = nodes.KEEP_FaceUpscaleImageNode()
     img = rng.random((1, 48, 48, 3)).astype(np.float32)
-    (out,) = node.upscale_face_image(pack, img, 1.0, True, True, False)
+    (out,) = node.upscale_face_image(img, pack, 1.0, True, True, False)
     assert out.shape == (1, 64, 64, 3)
     assert out.dtype == np.float32 and out.min() >= 0 and out.max() <= 1
 
@@ -41,7 +92,7 @@ def test_sequence_node(rng):
     pack.gmflow_params = None
     node = nodes.KEEP_ProcessImageSequenceNode()
     imgs = rng.random((3, 64, 64, 3)).astype(np.float32)
-    (out,) = node.process_sequence(pack, imgs, 1.0, True, True, False, 2)
+    (out,) = node.process_sequence(imgs, pack, 1.0, True, True, False, 2)
     assert out.shape == (3, 64, 64, 3)
 
 
