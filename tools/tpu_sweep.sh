@@ -22,6 +22,9 @@ run "enc levels 2" KEEP_TPU_PHASE_ENC_LEVELS=2
 run "gen 3 + enc 2" KEEP_TPU_PHASE_LEVELS=3 KEEP_TPU_PHASE_ENC_LEVELS=2
 run "gen 2 + enc 2" KEEP_TPU_PHASE_LEVELS=2 KEEP_TPU_PHASE_ENC_LEVELS=2
 run "all: pack_gmflow + gen3 + enc2" KEEP_TPU_PACK_GMFLOW=1 KEEP_TPU_PHASE_LEVELS=3 KEEP_TPU_PHASE_ENC_LEVELS=2
+run "f32 (ledger entry)" KEEP_TPU_BENCH_DTYPE=f32
 echo "--- transformer stage probe ---"
 timeout 900 python tools/_prof_transformer.py 2>&1 | grep -v -i warning
+echo "--- train step (B=1 T=4, full 512 config) ---"
+timeout 1800 python tools/benchmark.py --train --frames 4 --iters 3 2>&1 | grep -v -i warning
 echo "=== SWEEP DONE $(date) ==="
