@@ -25,6 +25,8 @@ run "all: pack_gmflow + gen3 + enc2" KEEP_TPU_PACK_GMFLOW=1 KEEP_TPU_PHASE_LEVEL
 run "f32 (ledger entry)" KEEP_TPU_BENCH_DTYPE=f32
 echo "--- transformer stage probe ---"
 timeout 900 python tools/_prof_transformer.py 2>&1 | grep -v -i warning
+echo "--- keep attribution (profile modes + pre/post bisect) ---"
+KEEP_TPU_PHASE_ENC_LEVELS=${KEEP_TPU_PHASE_ENC_LEVELS:-1} timeout 1200 python tools/_prof_keep.py 2>&1 | grep -v -i warning
 echo "--- train step (B=1 T=4, full 512 config) ---"
 timeout 1800 python tools/benchmark.py --train --frames 4 --iters 3 2>&1 | grep -v -i warning
 echo "=== SWEEP DONE $(date) ==="
