@@ -21,6 +21,7 @@ run "gen levels 3" KEEP_TPU_PHASE_LEVELS=3
 run "enc levels 2" KEEP_TPU_PHASE_ENC_LEVELS=2
 run "gen 3 + enc 2" KEEP_TPU_PHASE_LEVELS=3 KEEP_TPU_PHASE_ENC_LEVELS=2
 run "gen 2 + enc 2" KEEP_TPU_PHASE_LEVELS=2 KEEP_TPU_PHASE_ENC_LEVELS=2
+run "enc levels 3" KEEP_TPU_PHASE_ENC_LEVELS=3
 run "all: pack_gmflow + gen3 + enc2" KEEP_TPU_PACK_GMFLOW=1 KEEP_TPU_PHASE_LEVELS=3 KEEP_TPU_PHASE_ENC_LEVELS=2
 run "f32 (ledger entry)" KEEP_TPU_BENCH_DTYPE=f32
 echo "--- transformer stage probe ---"
