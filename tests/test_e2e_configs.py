@@ -375,6 +375,23 @@ class TestConfig4Multiface:
         changed = (outs[1] != frames[1]).any(axis=-1)
         assert changed[330:430, 380:480].mean() > 0.05
 
+    def test_aligned_sequence_returns_background_only(self, pack, rng):
+        """Reference quirk reproduced exactly: with has_aligned_frames the
+        stage-4 loop appends ONLY the upscaled background and skips the
+        paste (keep_processor.py:289-291 'aligned case could be handled
+        better') — with no bg upscaler and factor 1.0 the output frames
+        equal the inputs bit-for-bit even though the faces were restored."""
+        frames = [_make_image(rng, 96, 96) for _ in range(3)]
+        pack.face_helper = FaceRestoreHelper(face_size=FACE, detector=None,
+                                             parser=None, use_parse=False)
+        proc = pack.processor()
+        outs = proc.process_image_sequence(frames, final_upscale_factor=1.0,
+                                           has_aligned_frames=True,
+                                           max_clip_length=4)
+        assert len(outs) == 3
+        for o, f in zip(outs, frames):
+            np.testing.assert_array_equal(o, f)
+
 
 # ---------------------------------------------------------------------------
 # config 5 — bg + face upscalers + final_upscale_factor compositing
