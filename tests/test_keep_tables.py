@@ -27,3 +27,35 @@ def test_tables_small_config():
         assert enc_plan[i][0] == "res"
     for f, i in gen_tap.items():
         assert gen_plan[i][0] == "res"
+
+
+def test_asian_variant_structure():
+    """The Asian variant (cft 32..256, no temp_reg — modules/utils.py:58-73)
+    builds, its tap tables are tap-valid, and its param count matches the
+    reference torch net."""
+    import pytest
+    from tests import reference_oracle as oracle
+    torch = pytest.importorskip("torch")
+    if not oracle.reference_available():
+        pytest.skip("reference repo not mounted")
+    from comfyui_keep_tpu.models.keep import KEEP, convert_checkpoint
+
+    cfg = KEEP.config("Asian")
+    assert cfg["cft_list"] == ("32", "64", "128", "256")
+    assert cfg["temp_reg_list"] == ()
+    _, enc_tap, gen_tap = keep.arch_tables(cfg)
+    enc_plan, gen_plan = KEEP.make_plans(cfg)
+    for f in cfg["cft_list"]:
+        assert enc_plan[enc_tap[f]][0] == "res"
+        assert gen_plan[gen_tap[f]][0] == "res"
+
+    ref = oracle.load_ref_keep()
+    torch.manual_seed(0)
+    net = ref.KEEP(img_size=512, cft_list=['32', '64', '128', '256'],
+                   kalman_attn_head_dim=48, num_uncertainty_layers=3,
+                   cfa_list=['16', '32'], cfa_nhead=4, cfa_dim=256, cond=1,
+                   temp_reg_list=[]).eval()
+    sd = {k: v.detach().numpy() for k, v in net.state_dict().items()}
+    tree, _ = convert_checkpoint(sd)
+    assert keep.count_parameters(tree) == \
+        sum(p.numel() for p in net.parameters())
