@@ -123,6 +123,7 @@ class FaceRestoreHelper:
         self.inverse_affine_matrices: List[Optional[np.ndarray]] = []
         self.cropped_faces: List[np.ndarray] = []
         self.restored_faces: List[np.ndarray] = []
+        self.pad_input_imgs: List[np.ndarray] = []
 
     # -- input ----------------------------------------------------------------
 
@@ -201,13 +202,68 @@ class FaceRestoreHelper:
 
     # -- alignment ------------------------------------------------------------
 
+    def _pad_blur_image(self, landmarks: np.ndarray) -> np.ndarray:
+        """Reflect-pad + edge-blur + median-fade the input around the FFHQ
+        oriented quad of one face (face_restoration_helper.py:259-302,
+        blur_ratio hardcoded 0.01)."""
+        eye_left, eye_right = landmarks[0, :], landmarks[1, :]
+        eye_avg = (eye_left + eye_right) * 0.5
+        mouth_avg = (landmarks[3, :] + landmarks[4, :]) * 0.5
+        eye_to_eye = eye_right - eye_left
+        eye_to_mouth = mouth_avg - eye_avg
+        x = eye_to_eye - np.flipud(eye_to_mouth) * [-1, 1]
+        x /= np.hypot(*x)
+        rect_scale = 1.5
+        x *= max(np.hypot(*eye_to_eye) * 2.0 * rect_scale,
+                 np.hypot(*eye_to_mouth) * 1.8 * rect_scale)
+        y = np.flipud(x) * [-1, 1]
+        c = eye_avg + eye_to_mouth * 0.1
+        quad = np.stack([c - x - y, c - x + y, c + x + y, c + x - y])
+        qsize = np.hypot(*x) * 2
+        border = max(int(np.rint(qsize * 0.1)), 3)
+        pad = ([int(np.floor(min(quad[:, i]))) for i in range(2)]
+               + [int(np.ceil(max(quad[:, i]))) for i in range(2)])
+        pad = [max(-pad[0] + border, 1),
+               max(-pad[1] + border, 1),
+               max(pad[2] - self.input_img.shape[1] + border, 1),
+               max(pad[3] - self.input_img.shape[0] + border, 1)]
+        if max(pad) <= 1:
+            return np.copy(self.input_img)
+        pad_img = np.pad(self.input_img,
+                         ((pad[1], pad[3]), (pad[0], pad[2]), (0, 0)),
+                         "reflect")
+        h_pad, w_pad, _ = pad_img.shape
+        y_grid, x_grid = np.ogrid[:h_pad, :w_pad]
+        mask = np.maximum(
+            1.0 - np.minimum(np.float32(x_grid) / pad[0],
+                             np.float32(w_pad - 1 - x_grid) / pad[2]),
+            1.0 - np.minimum(np.float32(y_grid) / pad[1],
+                             np.float32(h_pad - 1 - y_grid) / pad[3]))
+        blur = int(qsize * 0.01)
+        if blur % 2 == 0:
+            blur += 1
+        blur_img = cv2.boxFilter(pad_img, 0, ksize=(blur, blur))
+        pad_img = pad_img.astype("float32")
+        pad_img += (blur_img - pad_img) * np.clip(
+            mask[:, :, np.newaxis] * 3.0 + 1.0, 0.0, 1.0)
+        pad_img += (np.median(pad_img, axis=(0, 1)) - pad_img) * np.clip(
+            mask[:, :, np.newaxis], 0.0, 1.0)
+        return np.clip(pad_img, 0, 255).astype(np.uint8)
+
     def align_warp_face(self, border_mode="constant"):
         """LMEDS similarity solve -> 512x512 warp with the FFHQ gray border
-        (135,133,132) (face_restoration_helper.py:257-324)."""
+        (135,133,132) (face_restoration_helper.py:257-324); optional
+        pad_blur pre-pads each face's source image."""
         border = {"constant": cv2.BORDER_CONSTANT,
                   "reflect101": cv2.BORDER_REFLECT101,
                   "reflect": cv2.BORDER_REFLECT}[border_mode]
-        for landmark in self.all_landmarks_5:
+        if self.pad_blur:
+            self.pad_input_imgs = [self._pad_blur_image(np.asarray(lm, np.float64))
+                                   for lm in self.all_landmarks_5]
+        for idx, landmark in enumerate(self.all_landmarks_5):
+            src = (self.pad_input_imgs[idx]
+                   if self.pad_blur and idx < len(self.pad_input_imgs)
+                   else self.input_img)
             m = estimate_affine(landmark, self.face_template)
             if m is None:
                 self.cropped_faces.append(
@@ -215,11 +271,11 @@ class FaceRestoreHelper:
                 self.affine_matrices.append(None)
                 continue
             self.affine_matrices.append(m)
-            cropped = cv2.warpAffine(self.input_img, m, self.face_size,
+            cropped = cv2.warpAffine(src, m, self.face_size,
                                      borderMode=border,
                                      borderValue=(135, 133, 132)) \
                 if _HAVE_CV2 else _warp_affine(
-                    self.input_img, m, self.face_size,
+                    src, m, self.face_size,
                     border_mode=border_mode, border_value=(135, 133, 132))
             self.cropped_faces.append(cropped)
 

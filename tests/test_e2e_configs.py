@@ -250,6 +250,35 @@ class TestConfig2Unaligned:
         assert n == 1
         np.testing.assert_allclose(helper.all_landmarks_5[0], lm_center)
 
+    def test_pad_blur_matches_reference(self, ref_helper_mod, rng):
+        """pad_blur branch golden: the reflect-pad + edge-blur + median-fade
+        source image and the (offset-quirk-faithful) crop match the torch
+        reference bit-for-bit (face_restoration_helper.py:259-324)."""
+        img = _make_image(rng, 200, 220)
+        # face near the border so the pad actually triggers (max(pad) > 1)
+        lm = face_landmarks_at(0.35, 10.0, 40.0, 50.0)
+
+        ours = FaceRestoreHelper(face_size=FACE, detector=None, parser=None,
+                                 use_parse=False, pad_blur=True)
+        ours.read_image(img)
+        ours.all_landmarks_5 = [lm]
+        ours.align_warp_face()
+
+        ref = ref_helper_mod.FaceRestoreHelper(
+            upscale_factor=1, face_size=FACE, pad_blur=True, device="cpu",
+            model_rootpath="/tmp")
+        ref.read_image(img)
+        ref.all_landmarks_5 = [lm]
+        ref.align_warp_face()
+
+        assert len(ours.pad_input_imgs) == len(ref.pad_input_imgs) == 1
+        assert ours.pad_input_imgs[0].shape == ref.pad_input_imgs[0].shape
+        assert ours.pad_input_imgs[0].shape != img.shape  # pad happened
+        np.testing.assert_array_equal(ours.pad_input_imgs[0],
+                                      ref.pad_input_imgs[0])
+        np.testing.assert_array_equal(ours.cropped_faces[0],
+                                      ref.cropped_faces[0])
+
 
 # ---------------------------------------------------------------------------
 # config 4 — multiface tracked sequence
