@@ -158,6 +158,20 @@ class FaceRestoreHelper:
         idx = int(np.argmin(dists))
         return det_faces[idx], idx
 
+    @staticmethod
+    def get_largest_face(det_faces, h, w):
+        """Largest image-clipped box area (face_restoration_helper.py:133-151)."""
+        if not det_faces:
+            return None, -1
+        clip = lambda v, length: min(max(v, 0), length)
+        areas = [(clip(f[2], w) - clip(f[0], w)) * (clip(f[3], h) - clip(f[1], h))
+                 for f in det_faces]
+        idx = int(np.argmax(areas))
+        return det_faces[idx], idx
+
+    def set_upscale_factor(self, upscale_factor):
+        self.upscale_factor = upscale_factor
+
     def get_face_landmarks_5(self, only_center_face=False, resize=640,
                              eye_dist_threshold=None, conf_threshold=0.97):
         if self.detector is None:

@@ -275,3 +275,20 @@ class TestFactory:
             init_detection_model("nope", require_weights=False)
         with pytest.raises(NotImplementedError):
             init_parsing_model("nope", require_weights=False)
+
+
+def test_get_largest_face_matches_reference():
+    """Clipped-area selection parity (face_restoration_helper.py:133-151)."""
+    from comfyui_keep_tpu.facelib.helper import FaceRestoreHelper
+    dets = [np.array([-50.0, 10.0, 100.0, 200.0, 0.9]),     # clipped left
+            np.array([10.0, 10.0, 150.0, 150.0, 0.9]),
+            np.array([100.0, 100.0, 500.0, 500.0, 0.9])]    # clipped r/b
+    h, w = 300, 300
+    # reference math inline
+    clip = lambda v, l: min(max(v, 0), l)
+    areas = [(clip(f[2], w) - clip(f[0], w)) * (clip(f[3], h) - clip(f[1], h))
+             for f in dets]
+    face, idx = FaceRestoreHelper.get_largest_face(dets, h, w)
+    assert idx == int(np.argmax(areas))
+    np.testing.assert_array_equal(face, dets[idx])
+    assert FaceRestoreHelper.get_largest_face([], h, w) == (None, -1)
