@@ -272,7 +272,9 @@ class FaceRestoreHelper:
                   "reflect101": cv2.BORDER_REFLECT101,
                   "reflect": cv2.BORDER_REFLECT}[border_mode]
         if self.pad_blur:
-            self.pad_input_imgs = [self._pad_blur_image(np.asarray(lm, np.float64))
+            # keep the landmarks' native dtype: the pad geometry's floor/ceil
+            # must round exactly like the reference's arithmetic
+            self.pad_input_imgs = [self._pad_blur_image(np.asarray(lm))
                                    for lm in self.all_landmarks_5]
         for idx, landmark in enumerate(self.all_landmarks_5):
             src = (self.pad_input_imgs[idx]

@@ -86,12 +86,14 @@ class KEEP_FaceUpscaleImageNode:
     def upscale_face_image(self, image, keep_model, final_upscale_factor,
                            has_aligned_face, only_center_face,
                            draw_bounding_box):
+        if not hasattr(keep_model, "load_device"):  # nodes.py:66-68 guard
+            print(f"[comfyui_keep_tpu] Invalid KEEP model pack: "
+                  f"{type(keep_model)}")
+            return (None,)
         try:
             keep_model.load_device()
-            img = np.asarray(image)
-            if img.ndim == 4:  # first image of the batch (nodes.py:72)
-                img = img[:1]
-            img_bgr = comfy_to_cv2(img)
+            # comfy_to_cv2 takes the first image of the batch (nodes.py:72)
+            img_bgr = comfy_to_cv2(np.asarray(image))
             out = api.restore_image(
                 keep_model, img_bgr, final_upscale_factor,
                 has_aligned=has_aligned_face,
@@ -139,6 +141,10 @@ class KEEP_ProcessImageSequenceNode:
     def process_sequence(self, images, keep_model, final_upscale_factor,
                          has_aligned_frames, only_center_face,
                          draw_bounding_box, max_clip_length):
+        if not hasattr(keep_model, "load_device"):  # nodes.py:117-119 guard
+            print(f"[comfyui_keep_tpu] Invalid KEEP model pack: "
+                  f"{type(keep_model)}")
+            return (None,)
         try:
             keep_model.load_device()
             frames = [comfy_to_cv2(f) for f in np.asarray(images)]

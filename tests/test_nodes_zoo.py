@@ -75,6 +75,13 @@ def test_node_error_trapping(rng):
     assert node.upscale_face_image(img, pack, 1.0, False, True, False) == \
         (None,)
     assert pack.offloaded
+    # invalid pack (e.g. upstream loader errored -> None): trapped before the
+    # try so the finally can't raise (reference nodes.py:66-68)
+    assert node.upscale_face_image(img, None, 1.0, False, True, False) == \
+        (None,)
+    seq = nodes.KEEP_ProcessImageSequenceNode()
+    assert seq.process_sequence(img, None, 1.0, False, True, False, 2) == \
+        (None,)
 
 
 def test_single_image_node_roundtrip(rng):
