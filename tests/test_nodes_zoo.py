@@ -117,3 +117,20 @@ def test_zoo_sha_check(tmp_path):
     f.write_bytes(b"hello")
     digest = zoo.sha256_file(str(f))
     assert digest.startswith("2cf24dba")
+
+
+def test_root_package_entry_exports_nodes():
+    """ComfyUI imports the repo root as the custom-node package; the root
+    __init__ must export the node mappings (reference __init__.py:16-19)."""
+    import importlib.util
+    import os
+    root = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+    spec = importlib.util.spec_from_file_location(
+        "fake_custom_node_pkg", os.path.join(root, "__init__.py"))
+    mod = importlib.util.module_from_spec(spec)
+    spec.loader.exec_module(mod)
+    assert set(mod.NODE_CLASS_MAPPINGS) == {
+        "KEEP_ModelLoader", "KEEP_FaceUpscaleImage",
+        "KEEP_ProcessImageSequence"}
+    assert mod.NODE_DISPLAY_NAME_MAPPINGS["KEEP_FaceUpscaleImage"] == \
+        "KEEP Single Image"
