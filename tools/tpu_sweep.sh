@@ -30,4 +30,6 @@ echo "--- keep attribution (profile modes + pre/post bisect) ---"
 KEEP_TPU_PHASE_ENC_LEVELS=${KEEP_TPU_PHASE_ENC_LEVELS:-1} timeout 1200 python tools/_prof_keep.py 2>&1 | grep -v -i warning
 echo "--- train step (B=1 T=4, full 512 config) ---"
 timeout 1800 python tools/benchmark.py --train --frames 4 --iters 3 2>&1 | grep -v -i warning
+echo "--- five-config suite ---"
+timeout 3600 python tools/bench_suite.py --iters 3 2>&1 | grep -v -i warning
 echo "=== SWEEP DONE $(date) ==="
