@@ -210,8 +210,92 @@ class VFHQRealDegradationDataset:
 
 @DATASET_REGISTRY.register(name="VideoTestDataset")
 class VideoTestDataset:
-    """Per-clip validation dataset (reference video_test_dataset.py):
-    iterates folders of frames, yields whole clips."""
+    """Sliding-window test dataset (reference video_test_dataset.py:14-131):
+    one item PER FRAME — a num_frame window of LQ neighbors selected by
+    generate_frame_indices with the configured padding mode, plus the
+    center-frame GT. Fields folder / idx "i/max" / border match the
+    reference's data_info bookkeeping."""
+
+    def __init__(self, opt: Dict):
+        self.opt = opt
+        self.gt_root = opt.get("dataroot_gt")
+        self.lq_root = opt["dataroot_lq"]
+        self.num_frame = opt.get("num_frame", 5)
+        self.padding = opt.get("padding", "reflection_circle")
+        folders = opt.get("meta_info_file")
+        if folders:
+            with open(folders) as f:
+                self.folders = [line.split()[0].split("/")[0]
+                                for line in f if line.strip()]
+            self.folders = sorted(set(self.folders))
+        else:
+            self.folders = sorted(
+                d for d in os.listdir(self.lq_root)
+                if os.path.isdir(os.path.join(self.lq_root, d)))
+        self.items: List = []  # (folder, frame_idx, max_idx, border)
+        self.frame_paths = {}
+        for folder in self.folders:
+            paths = scandir(os.path.join(self.lq_root, folder))
+            self.frame_paths[folder] = paths
+            n = len(paths)
+            for i in range(n):
+                border = 1 if (i < self.num_frame // 2
+                               or i >= n - self.num_frame // 2) else 0
+                self.items.append((folder, i, n, border))
+
+    def __len__(self):
+        return len(self.items)
+
+    def _read_lq_window(self, folder, select_idx):
+        paths = self.frame_paths[folder]
+        return np.stack(
+            [_read_img(os.path.join(self.lq_root, folder, paths[i]))[..., ::-1]
+             for i in select_idx]).astype(np.float32)
+
+    def __getitem__(self, index):
+        from comfyui_keep_tpu.data.util import generate_frame_indices
+        folder, idx, max_idx, border = self.items[index]
+        select_idx = generate_frame_indices(idx, max_idx, self.num_frame,
+                                            padding=self.padding)
+        out = {"lq": self._read_lq_window(folder, select_idx),
+               "folder": folder, "idx": f"{idx}/{max_idx}", "border": border}
+        if self.gt_root:
+            gt_paths = scandir(os.path.join(self.gt_root, folder))
+            out["gt"] = _read_img(os.path.join(
+                self.gt_root, folder, gt_paths[idx]))[..., ::-1].astype(
+                    np.float32).copy()
+        return out
+
+
+@DATASET_REGISTRY.register(name="VideoTestDUFDataset")
+class VideoTestDUFDataset(VideoTestDataset):
+    """VideoTestDataset variant (reference video_test_dataset.py:202-249):
+    with use_duf_downsampling the LQ window is generated from the GT frames
+    via the DUF Gaussian downsample."""
+
+    def __getitem__(self, index):
+        from comfyui_keep_tpu.data.util import (duf_downsample,
+                                                generate_frame_indices)
+        if not self.opt.get("use_duf_downsampling"):
+            return super().__getitem__(index)
+        folder, idx, max_idx, border = self.items[index]
+        select_idx = generate_frame_indices(idx, max_idx, self.num_frame,
+                                            padding=self.padding)
+        gt_paths = scandir(os.path.join(self.gt_root, folder))
+        gts = np.stack(
+            [_read_img(os.path.join(self.gt_root, folder, gt_paths[i]))[..., ::-1]
+             for i in select_idx]).astype(np.float32)
+        lq = np.asarray(duf_downsample(gts, kernel_size=13,
+                                       scale=self.opt.get("scale", 4)))
+        return {"lq": lq.astype(np.float32), "folder": folder,
+                "idx": f"{idx}/{max_idx}", "border": border,
+                "gt": gts[len(select_idx) // 2]}
+
+
+@DATASET_REGISTRY.register(name="VideoRecurrentTestDataset")
+class VideoRecurrentTestDataset:
+    """Whole-clip test dataset for recurrent nets (reference
+    video_test_dataset.py:252-284): one item per folder, full LQ/GT clips."""
 
     def __init__(self, opt: Dict):
         self.opt = opt
@@ -236,6 +320,34 @@ class VideoTestDataset:
                 [_read_img(os.path.join(self.gt_root, folder, p))[..., ::-1]
                  for p in gt_paths]).astype(np.float32)
         return out
+
+
+@DATASET_REGISTRY.register(name="VideoTestVimeo90KDataset")
+class VideoTestVimeo90KDataset:
+    """Vimeo90K-Test (reference video_test_dataset.py:134-199): one item per
+    meta key, num_frame LQ window (im1..im7 centered) + center GT im4."""
+
+    def __init__(self, opt: Dict):
+        self.opt = opt
+        self.gt_root = opt["dataroot_gt"]
+        self.lq_root = opt["dataroot_lq"]
+        self.num_frame = opt.get("num_frame", 7)
+        with open(opt["meta_info_file"]) as f:
+            self.keys = [line.split()[0] for line in f if line.strip()]
+        self.neighbor_list = [i + (9 - self.num_frame) // 2
+                              for i in range(self.num_frame)]
+
+    def __len__(self):
+        return len(self.keys)
+
+    def __getitem__(self, index):
+        key = self.keys[index]
+        lq = np.stack(
+            [_read_img(os.path.join(self.lq_root, key, f"im{i}.png"))[..., ::-1]
+             for i in self.neighbor_list]).astype(np.float32)
+        gt = _read_img(os.path.join(self.gt_root, key, "im4.png"))[..., ::-1]
+        return {"lq": lq, "gt": gt.astype(np.float32).copy(),
+                "folder": key, "idx": f"{index}/{len(self.keys)}", "border": 0}
 
 
 @DATASET_REGISTRY.register(name="REDSDataset")
@@ -293,6 +405,74 @@ class REDSDataset:
                 "key": self.keys[index]}
 
 
+@DATASET_REGISTRY.register(name="REDSRecurrentDataset")
+class REDSRecurrentDataset:
+    """REDS for recurrent nets (reference reds_dataset.py:209-345): per-frame
+    keys filtered by val_partition (REDS4/official) and test_mode; each item
+    is a num_frame*interval window of PAIRED LQ/GT sequences starting at the
+    key frame (re-randomized when it would cross the clip end), with random
+    reverse, paired crop and flip/rot augmentation."""
+
+    def __init__(self, opt: Dict):
+        self.opt = opt
+        self.gt_root = opt["dataroot_gt"]
+        self.lq_root = opt["dataroot_lq"]
+        self.num_frame = opt.get("num_frame", 15)
+        self.interval_list = opt.get("interval_list", [1])
+        self.random_reverse = opt.get("random_reverse", False)
+        self.scale = opt.get("scale", 4)
+        self.keys = []
+        self.clip_len = {}
+        with open(opt["meta_info_file"]) as f:
+            for line in f:
+                if not line.strip():
+                    continue
+                clip, n_frames = line.split()[:2]
+                self.clip_len[clip] = int(n_frames)
+                self.keys.extend(f"{clip}/{i:08d}" for i in range(int(n_frames)))
+        part = opt.get("val_partition", "REDS4")
+        if part == "REDS4":
+            val = {"000", "011", "015", "020"}
+        elif part == "official":
+            val = {f"{v:03d}" for v in range(240, 270)}
+        else:
+            raise ValueError(
+                f"Wrong validation partition {part}. "
+                "Supported ones are ['official', 'REDS4'].")
+        if opt.get("test_mode"):
+            self.keys = [k for k in self.keys if k.split("/")[0] in val]
+        else:
+            self.keys = [k for k in self.keys if k.split("/")[0] not in val]
+
+    def __len__(self):
+        return len(self.keys)
+
+    def __getitem__(self, index):
+        clip, frame = self.keys[index].rsplit("/", 1)
+        interval = random.choice(self.interval_list)
+        total = self.clip_len[clip]
+        start = int(frame)
+        if start > total - self.num_frame * interval:
+            start = random.randint(0, total - self.num_frame * interval)
+        neighbors = list(range(start, start + self.num_frame * interval,
+                               interval))
+        if self.random_reverse and random.random() < 0.5:
+            neighbors.reverse()
+        lqs = [_read_img(os.path.join(self.lq_root, clip, f"{i:08d}.png"))
+               for i in neighbors]
+        gts = [_read_img(os.path.join(self.gt_root, clip, f"{i:08d}.png"))
+               for i in neighbors]
+        if self.opt.get("phase", "train") == "train":
+            gt_size = self.opt.get("gt_size", 256)
+            gts, lqs = paired_random_crop(gts, lqs, gt_size, self.scale)
+            out = augment(gts + lqs, self.opt.get("use_hflip", True),
+                          self.opt.get("use_rot", True))
+            gts, lqs = out[:self.num_frame], out[self.num_frame:]
+        return {"lq": np.stack([v[..., ::-1] for v in lqs]).astype(np.float32),
+                "gt": np.stack([v[..., ::-1] for v in gts]).astype(np.float32),
+                "key": self.keys[index]}
+
+
 @DATASET_REGISTRY.register(name="Vimeo90KDataset")
 class Vimeo90KDataset:
     """Vimeo90K septuplets (reference vimeo90k_dataset.py): meta lines
@@ -325,6 +505,41 @@ class Vimeo90KDataset:
             gt, lqs = out[0], out[1:]
         return {"lq": np.stack([v[..., ::-1] for v in lqs]).astype(np.float32),
                 "gt": gt[..., ::-1].astype(np.float32).copy(), "key": key}
+
+
+@DATASET_REGISTRY.register(name="Vimeo90KRecurrentDataset")
+class Vimeo90KRecurrentDataset(Vimeo90KDataset):
+    """Vimeo90K for recurrent nets (reference vimeo90k_dataset.py:120-198):
+    paired 7-frame LQ/GT sequences, random reverse, optional flip_sequence
+    (7 -> 14 frames by mirroring)."""
+
+    def __init__(self, opt: Dict):
+        super().__init__(opt)
+        self.flip_sequence = opt.get("flip_sequence", False)
+        self.random_reverse = opt.get("random_reverse", False)
+
+    def __getitem__(self, index):
+        key = self.keys[index]
+        neighbors = list(self.neighbor_list)
+        if self.random_reverse and random.random() < 0.5:
+            neighbors.reverse()
+        lqs = [_read_img(os.path.join(self.lq_root, key, f"im{i}.png"))
+               for i in neighbors]
+        gts = [_read_img(os.path.join(self.gt_root, key, f"im{i}.png"))
+               for i in neighbors]
+        if self.opt.get("phase", "train") == "train":
+            gt_size = self.opt.get("gt_size", 256)
+            gts, lqs = paired_random_crop(gts, lqs, gt_size, self.scale)
+            out = augment(gts + lqs, self.opt.get("use_hflip", True),
+                          self.opt.get("use_rot", True))
+            n = len(neighbors)
+            gts, lqs = out[:n], out[n:]
+        lq = np.stack([v[..., ::-1] for v in lqs]).astype(np.float32)
+        gt = np.stack([v[..., ::-1] for v in gts]).astype(np.float32)
+        if self.flip_sequence:
+            lq = np.concatenate([lq, lq[::-1]], axis=0)
+            gt = np.concatenate([gt, gt[::-1]], axis=0)
+        return {"lq": lq, "gt": gt, "key": key}
 
 
 @DATASET_REGISTRY.register(name="RealESRGANDataset")

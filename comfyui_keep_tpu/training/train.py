@@ -20,20 +20,22 @@ from comfyui_keep_tpu.utils.misc import make_exp_dirs, set_random_seed
 
 
 def create_train_val_loaders(opt, logger):
+    from comfyui_keep_tpu.data import build_dataloader
+
     train_loader, val_loaders = None, []
     for phase, dataset_opt in opt["datasets"].items():
         if phase == "train":
             ds = build_dataset(dataset_opt)
             sampler = EnlargedSampler(
                 len(ds), ratio=dataset_opt.get("dataset_enlarge_ratio", 1))
-            train_loader = DataLoader(
-                ds, batch_size=dataset_opt.get("batch_size_per_gpu", 1),
-                sampler=sampler,
-                num_workers=dataset_opt.get("num_worker_per_gpu", 0))
+            train_loader = build_dataloader(
+                ds, {**dataset_opt, "phase": "train"}, sampler=sampler,
+                seed=opt.get("manual_seed"))
             logger.info(f"train dataset {dataset_opt['type']}: {len(ds)} items")
         elif phase.startswith("val"):
             ds = build_dataset(dataset_opt)
-            val_loaders.append(DataLoader(ds, batch_size=1, drop_last=False))
+            val_loaders.append(
+                build_dataloader(ds, {**dataset_opt, "phase": "val"}))
             logger.info(f"val dataset {dataset_opt['type']}: {len(ds)} items")
     return train_loader, val_loaders
 

@@ -273,3 +273,148 @@ class TestDataUtil:
         ref = y.reshape(b, t, c, y.size(2), y.size(3)).numpy()
         np.testing.assert_allclose(ours, ref.transpose(0, 1, 3, 4, 2),
                                    atol=1e-5, rtol=1e-5)
+
+
+class TestRecurrentDatasets:
+    """New recurrent/test dataset variants (reference reds_dataset.py:209,
+    vimeo90k_dataset.py:120, video_test_dataset.py:14/134/202/252)."""
+
+    @staticmethod
+    def _write_clip(root, clip, n, h=32, w=32, rng=None, scale=1):
+        import cv2
+        d = root / clip
+        d.mkdir(parents=True, exist_ok=True)
+        rng = rng or np.random.default_rng(0)
+        for i in range(n):
+            img = (rng.random((h, w, 3)) * 255).astype(np.uint8)
+            cv2.imwrite(str(d / f"{i:08d}.png"), img)
+
+    def test_reds_recurrent(self, tmp_path, rng):
+        from comfyui_keep_tpu.data import build_dataset
+        for clip in ("000", "001"):
+            self._write_clip(tmp_path / "gt", clip, 12, 32, 32)
+            self._write_clip(tmp_path / "lq", clip, 12, 16, 16)
+        meta = tmp_path / "meta.txt"
+        meta.write_text("000 12 (32,32,3)\n001 12 (32,32,3)\n")
+        ds = build_dataset({
+            "type": "REDSRecurrentDataset", "dataroot_gt": str(tmp_path / "gt"),
+            "dataroot_lq": str(tmp_path / "lq"), "meta_info_file": str(meta),
+            "val_partition": "REDS4", "test_mode": False, "num_frame": 4,
+            "gt_size": 16, "scale": 2, "phase": "train",
+            "interval_list": [1, 2], "random_reverse": True})
+        # clip 000 is in the REDS4 val partition -> excluded
+        assert len(ds) == 12
+        item = ds[0]
+        assert item["lq"].shape == (4, 8, 8, 3)
+        assert item["gt"].shape == (4, 16, 16, 3)
+        ds_val = build_dataset({
+            "type": "REDSRecurrentDataset", "dataroot_gt": str(tmp_path / "gt"),
+            "dataroot_lq": str(tmp_path / "lq"), "meta_info_file": str(meta),
+            "val_partition": "REDS4", "test_mode": True, "num_frame": 4,
+            "scale": 2})
+        assert len(ds_val) == 12 and ds_val.keys[0].startswith("000/")
+
+    def test_vimeo_recurrent_flip_sequence(self, tmp_path, rng):
+        import cv2
+        from comfyui_keep_tpu.data import build_dataset
+        for root, size in (("gt", 32), ("lq", 16)):
+            d = tmp_path / root / "00001" / "0001"
+            d.mkdir(parents=True)
+            for i in range(1, 8):
+                img = (rng.random((size, size, 3)) * 255).astype(np.uint8)
+                cv2.imwrite(str(d / f"im{i}.png"), img)
+        meta = tmp_path / "meta.txt"
+        meta.write_text("00001/0001 7 (32,32,3)\n")
+        ds = build_dataset({
+            "type": "Vimeo90KRecurrentDataset",
+            "dataroot_gt": str(tmp_path / "gt"),
+            "dataroot_lq": str(tmp_path / "lq"), "meta_info_file": str(meta),
+            "num_frame": 7, "gt_size": 16, "scale": 2, "phase": "train",
+            "flip_sequence": True})
+        item = ds[0]
+        assert item["lq"].shape == (14, 8, 8, 3)
+        assert item["gt"].shape == (14, 16, 16, 3)
+        np.testing.assert_array_equal(item["lq"][7], item["lq"][6])
+
+    def test_video_test_window_and_recurrent(self, tmp_path, rng):
+        from comfyui_keep_tpu.data import build_dataset
+        self._write_clip(tmp_path / "gt", "clipA", 6, 32, 32)
+        self._write_clip(tmp_path / "lq", "clipA", 6, 16, 16)
+        win = build_dataset({
+            "type": "VideoTestDataset", "dataroot_gt": str(tmp_path / "gt"),
+            "dataroot_lq": str(tmp_path / "lq"), "num_frame": 5,
+            "padding": "reflection_circle"})
+        assert len(win) == 6  # one item per frame
+        item = win[0]
+        assert item["lq"].shape == (5, 16, 16, 3)
+        assert item["gt"].shape == (32, 32, 3)
+        assert item["idx"] == "0/6" and item["border"] == 1
+        assert win[3]["border"] == 0
+
+        rec = build_dataset({
+            "type": "VideoRecurrentTestDataset",
+            "dataroot_gt": str(tmp_path / "gt"),
+            "dataroot_lq": str(tmp_path / "lq")})
+        assert len(rec) == 1  # one item per folder
+        clip = rec[0]
+        assert clip["lq"].shape == (6, 16, 16, 3)
+        assert clip["gt"].shape == (6, 32, 32, 3)
+        assert clip["folder"] == "clipA"
+
+    def test_video_test_duf(self, tmp_path, rng):
+        from comfyui_keep_tpu.data import build_dataset
+        self._write_clip(tmp_path / "gt", "clipA", 4, 32, 32)
+        self._write_clip(tmp_path / "lq", "clipA", 4, 16, 16)
+        ds = build_dataset({
+            "type": "VideoTestDUFDataset", "dataroot_gt": str(tmp_path / "gt"),
+            "dataroot_lq": str(tmp_path / "lq"), "num_frame": 3,
+            "padding": "reflection", "use_duf_downsampling": True,
+            "scale": 2})
+        item = ds[1]
+        assert item["lq"].shape == (3, 16, 16, 3)   # GT 32 duf-downsampled x2
+        assert item["gt"].shape == (32, 32, 3)
+
+    def test_vimeo_test_dataset(self, tmp_path, rng):
+        import cv2
+        from comfyui_keep_tpu.data import build_dataset
+        for root, size in (("gt", 32), ("lq", 16)):
+            d = tmp_path / root / "00001" / "0001"
+            d.mkdir(parents=True)
+            for i in range(1, 8):
+                img = (rng.random((size, size, 3)) * 255).astype(np.uint8)
+                cv2.imwrite(str(d / f"im{i}.png"), img)
+        meta = tmp_path / "meta.txt"
+        meta.write_text("00001/0001 7 (32,32,3)\n")
+        ds = build_dataset({
+            "type": "VideoTestVimeo90KDataset",
+            "dataroot_gt": str(tmp_path / "gt"),
+            "dataroot_lq": str(tmp_path / "lq"), "meta_info_file": str(meta),
+            "num_frame": 7})
+        item = ds[0]
+        assert item["lq"].shape == (7, 16, 16, 3)
+        assert item["gt"].shape == (32, 32, 3)
+
+
+def test_build_dataloader_phases(tmp_path, rng):
+    """build_dataloader parity (reference data/__init__.py:40-90): train
+    batches with drop_last + sampler, val batch 1 without drop."""
+    import cv2
+    from comfyui_keep_tpu.data import build_dataloader, build_dataset
+    from comfyui_keep_tpu.data.samplers import EnlargedSampler
+    d = tmp_path / "imgs"
+    d.mkdir()
+    for i in range(5):
+        cv2.imwrite(str(d / f"{i}.png"),
+                    (rng.random((16, 16, 3)) * 255).astype(np.uint8))
+    ds = build_dataset({"type": "SingleImageDataset",
+                        "dataroot_lq": str(d), "phase": "val"})
+    train = build_dataloader(ds, {"phase": "train", "batch_size_per_gpu": 2},
+                             sampler=EnlargedSampler(len(ds), 1, 0), seed=1)
+    batches = list(train)
+    assert all(b["lq"].shape[0] == 2 for b in batches)
+    assert len(batches) == 2  # drop_last
+    val = build_dataloader(ds, {"phase": "val"})
+    assert len(list(val)) == 5
+    import pytest as _pytest
+    with _pytest.raises(ValueError):
+        build_dataloader(ds, {"phase": "bogus"})
