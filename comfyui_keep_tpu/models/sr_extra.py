@@ -220,6 +220,47 @@ def _ecb(p, x, act_type="prelu", with_idt=False):
     return y
 
 
+def _seqconv_rep(p, kind):
+    """Collapse a SeqConv3x3 branch to one (RK, RB) 3x3 conv
+    (ecbsr_arch.py:131-155). The bias-ring padding equals a constant-b0
+    field beyond the image, so zero-padded SAME conv with the folded bias
+    is exact."""
+    k0 = np.asarray(p["k0"]["w"])  # (1,1,cin,mid)
+    b0 = np.asarray(p["k0"]["b"])
+    if kind == "conv1x1-conv3x3":
+        k1 = np.asarray(p["k1"]["w"])  # (3,3,mid,cout)
+        b1 = np.asarray(p["k1"]["b"])
+        rk = np.einsum("cm,hwmo->hwco", k0[0, 0], k1)
+        rb = np.einsum("hwmo,m->o", k1, b0) + b1
+        return rk, rb
+    fixed = {"conv1x1-sobelx": _SOBEL_X, "conv1x1-sobely": _SOBEL_Y,
+             "conv1x1-laplacian": _LAPLACIAN}[kind]
+    scale = np.asarray(p["scale"])
+    bias = np.asarray(p["bias"])
+    # depthwise fixed kernel per output channel over the 1x1 projection
+    rk = k0[0, 0][None, None] * (fixed[:, :, None, None] * scale[None, None, None])
+    rb = fixed.sum() * scale * b0 + bias
+    return rk, rb
+
+
+def _ecb_rep(p, cin, cout, with_idt=False):
+    """ECB.rep_params (ecbsr_arch.py:214-233): sum the five branch kernels
+    (+ identity when with_idt)."""
+    rk = np.asarray(p["conv3x3"]["w"]).copy()
+    rb = np.asarray(p["conv3x3"]["b"]).copy()
+    for key, kind in (("conv1x1_3x3", "conv1x1-conv3x3"),
+                      ("conv1x1_sbx", "conv1x1-sobelx"),
+                      ("conv1x1_sby", "conv1x1-sobely"),
+                      ("conv1x1_lpl", "conv1x1-laplacian")):
+        k, b = _seqconv_rep(p[key], kind)
+        rk += k
+        rb += b
+    if with_idt and cin == cout:
+        for c in range(cin):
+            rk[1, 1, c, c] += 1.0
+    return {"w": rk, "b": rb, "act": p["act"]}
+
+
 @ARCH_REGISTRY.register(name="ECBSR")
 class ECBSR:
     @staticmethod
@@ -245,5 +286,38 @@ class ECBSR:
         for i, bp in enumerate(params["backbone"]):
             at = "linear" if i == n - 1 else act_type
             y = _ecb(bp, y, act_type=at, with_idt=with_idt)
+        y = y + shortcut
+        return pixel_shuffle(y, scale)
+
+    @staticmethod
+    def rep_params(params, with_idt=False):
+        """Deploy-time re-parameterization (ecbsr_arch.py:131-233): each ECB's
+        five branches (+identity) collapse into ONE 3x3 conv — the plain-conv
+        net apply_rep runs is numerically identical to the training form."""
+        reps = []
+        for bp in params["backbone"]:
+            cin = bp["conv3x3"]["w"].shape[2]
+            cout = bp["conv3x3"]["w"].shape[3]
+            reps.append(_ecb_rep(bp, cin, cout, with_idt=with_idt))
+        return {"backbone": [
+            {"w": jnp.asarray(r["w"]), "b": jnp.asarray(r["b"]),
+             "act": r["act"]} for r in reps]}
+
+    @staticmethod
+    def apply_rep(rep, x, num_in_ch=1, scale=4, act_type="prelu"):
+        """Forward through the collapsed single-conv blocks."""
+        if num_in_ch > 1:
+            shortcut = jnp.repeat(x, scale * scale, axis=-1)
+        else:
+            shortcut = jnp.tile(x, (1, 1, 1, scale * scale))
+        y = x
+        n = len(rep["backbone"])
+        for i, bp in enumerate(rep["backbone"]):
+            y = conv2d(y, bp["w"], bp["b"], padding=1)
+            if i < n - 1:
+                if act_type == "prelu":
+                    y = jnp.where(y >= 0, y, y * bp["act"]["prelu_w"])
+                elif act_type == "relu":
+                    y = relu(y)
         y = y + shortcut
         return pixel_shuffle(y, scale)

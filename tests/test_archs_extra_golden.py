@@ -156,3 +156,19 @@ def test_ecbsr_parity(rng):
     np.testing.assert_allclose(np.asarray(ours),
                                ref.detach().numpy().transpose(0, 2, 3, 1),
                                atol=1e-4, rtol=1e-3)
+
+
+def test_ecbsr_rep_params_exact(rng):
+    """Deploy-time reparameterization: the collapsed single-conv net equals
+    the training-form branch sum (ecbsr_arch.py:131-233), incl. with_idt."""
+    from comfyui_keep_tpu.models.sr_extra import ECBSR
+    import jax
+    for with_idt in (False, True):
+        p = ECBSR.init(jax.random.PRNGKey(0), num_in_ch=3, num_out_ch=3,
+                       num_block=2, num_channel=8, with_idt=with_idt, scale=2)
+        x = jnp.asarray(rng.random((2, 12, 12, 3), dtype=np.float32))
+        ref = ECBSR.apply(p, x, num_in_ch=3, scale=2, with_idt=with_idt)
+        rep = ECBSR.rep_params(p, with_idt=with_idt)
+        got = ECBSR.apply_rep(rep, x, num_in_ch=3, scale=2)
+        np.testing.assert_allclose(np.asarray(got), np.asarray(ref),
+                                   atol=2e-5, err_msg=f"with_idt={with_idt}")
