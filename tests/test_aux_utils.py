@@ -171,3 +171,29 @@ def test_zoo_lazy_configs_and_gdrive_surface():
     cfgs = zoo.KEEP_MODEL_CONFIGS
     assert set(cfgs) == {"KEEP", "Asian"}
     assert callable(zoo.download_file_from_google_drive)
+
+
+def test_lmdb_maker_roundtrip(tmp_path, rng):
+    """make_lmdb_from_imgs -> FileClient lmdb backend roundtrip + meta file
+    format (reference lmdb_util.py:9-207). Skips when lmdb is absent."""
+    pytest.importorskip("lmdb")
+    import cv2
+    from comfyui_keep_tpu.utils.lmdb_util import (imgs_from_lmdb,
+                                                  make_lmdb_from_imgs)
+    src = tmp_path / "imgs"
+    src.mkdir()
+    names, keys = [], []
+    for i in range(3):
+        img = (rng.random((8, 10, 3)) * 255).astype(np.uint8)
+        cv2.imwrite(str(src / f"f{i}.png"), img)
+        names.append(f"f{i}.png")
+        keys.append(f"f{i}")
+    out = tmp_path / "data.lmdb"
+    make_lmdb_from_imgs(str(src), str(out), names, keys, batch=2,
+                        map_size=1 << 24)
+    meta = (out / "meta_info.txt").read_text().strip().splitlines()
+    assert meta[0] == "f0.png (8,10,3) 1"
+    back = imgs_from_lmdb(out, keys)
+    for i, img in enumerate(back):
+        ref = cv2.imread(str(src / f"f{i}.png"), cv2.IMREAD_UNCHANGED)
+        np.testing.assert_array_equal(img, ref)
