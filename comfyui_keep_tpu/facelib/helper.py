@@ -172,28 +172,27 @@ class FaceRestoreHelper:
     def set_upscale_factor(self, upscale_factor):
         self.upscale_factor = upscale_factor
 
-    def get_face_landmarks_5(self, only_center_face=False, resize=640,
-                             eye_dist_threshold=None, conf_threshold=0.97):
-        if self.detector is None:
-            raise RuntimeError("no face detector attached")
-        img = self.input_img
-        h, w, _ = img.shape
+    @staticmethod
+    def resize_for_detection(img, resize=640):
+        """Short-side cap before detection (face_restoration_helper.py:
+        212-223). Returns (resized_img, scale_back)."""
+        h, w = img.shape[:2]
         if resize is not None and min(h, w) > resize:
             scale = resize / min(h, w)
             hw = (int(w * scale), int(h * scale))
             interp = cv2.INTER_AREA if scale < 1 else cv2.INTER_LINEAR
-            img = cv2.resize(self.input_img, hw, interpolation=interp)
-            scale_back = h / img.shape[0]
-        else:
-            scale_back = 1.0
+            small = cv2.resize(img, hw, interpolation=interp)
+            return small, h / small.shape[0]
+        return img, 1.0
 
-        bboxes = self.detector(img, conf_threshold)
-        if bboxes is None or len(bboxes) == 0:
-            return 0
-        bboxes = np.asarray(bboxes) * scale_back
-
+    @staticmethod
+    def select_landmarks_5(bboxes, img_hw, only_center_face=False,
+                           eye_dist_threshold=None):
+        """Eye-distance filter + center-face selection over (N, 15) rows
+        (face_restoration_helper.py:225-255). Returns (landmarks, det_faces)
+        lists (empty when nothing survives)."""
         landmarks, det_faces = [], []
-        for bbox in bboxes:
+        for bbox in np.asarray(bboxes):
             landmark = bbox[5:].reshape(5, 2)
             if eye_dist_threshold is not None:
                 if np.linalg.norm(landmark[0] - landmark[1]) < eye_dist_threshold:
@@ -201,17 +200,32 @@ class FaceRestoreHelper:
             landmarks.append(landmark)
             det_faces.append(bbox[:5])
         if not det_faces:
-            return 0
+            return [], []
         if only_center_face:
-            h, w, _ = self.input_img.shape
-            face, idx = self.get_center_face(det_faces, h, w)
+            h, w = img_hw
+            face, idx = FaceRestoreHelper.get_center_face(det_faces, h, w)
             if idx == -1:
-                return 0
-            self.det_faces = [face]
-            self.all_landmarks_5 = [landmarks[idx]]
-        else:
-            self.det_faces = det_faces
-            self.all_landmarks_5 = landmarks
+                return [], []
+            return [landmarks[idx]], [face]
+        return landmarks, det_faces
+
+    def get_face_landmarks_5(self, only_center_face=False, resize=640,
+                             eye_dist_threshold=None, conf_threshold=0.97):
+        if self.detector is None:
+            raise RuntimeError("no face detector attached")
+        img, scale_back = self.resize_for_detection(self.input_img, resize)
+        bboxes = self.detector(img, conf_threshold)
+        if bboxes is None or len(bboxes) == 0:
+            return 0
+        bboxes = np.asarray(bboxes) * scale_back
+        landmarks, det_faces = self.select_landmarks_5(
+            bboxes, self.input_img.shape[:2],
+            only_center_face=only_center_face,
+            eye_dist_threshold=eye_dist_threshold)
+        if not det_faces:
+            return 0
+        self.det_faces = det_faces
+        self.all_landmarks_5 = landmarks
         return len(self.all_landmarks_5)
 
     # -- alignment ------------------------------------------------------------

@@ -243,10 +243,69 @@ class RetinaFace:
         return loc, jax.nn.softmax(conf, axis=-1), landms
 
 
+def batched_decode(b_loc, priors, variances):
+    """(B, P, 4) batched box decode (reference retinaface_utils.py
+    batched_decode)."""
+    return jax.vmap(lambda l: decode_boxes(l, priors, variances))(b_loc)
+
+
+def batched_decode_landm(b_pre, priors, variances):
+    """(B, P, 10) batched landmark decode (reference retinaface_utils.py
+    batched_decode_landm)."""
+    return jax.vmap(lambda p: decode_landms(p, priors, variances))(b_pre)
+
+
+def _filter_sort_nms(boxes, scores, landms, conf_threshold, nms_threshold):
+    """score filter -> sort -> NMS -> (n, 15) rows (retinaface.py:236-252)."""
+    inds = scores > conf_threshold
+    boxes, landms, scores = boxes[inds], landms[inds], scores[inds]
+    order = scores.argsort()[::-1]
+    boxes, landms, scores = boxes[order], landms[order], scores[order]
+    dets = np.hstack([boxes, scores[:, None]]).astype(np.float32)
+    keep = nms_numpy(dets, nms_threshold)
+    return np.concatenate([dets[keep], landms[keep]], axis=1).astype(np.float32)
+
+
+def make_batched_detector_fn(params, network="resnet50", nms_threshold=0.4,
+                             jit=True):
+    """Whole-clip detection in ONE device program (the reference's
+    batched_detect_faces, retinaface.py:327-383, returns per-frame
+    boxes/landmarks; here each frame yields the same (n, 15) rows the
+    single-image detector produces). One jitted program per (n, h, w)."""
+    cfg = CFG[network]
+    fns = {}
+
+    def device_part(x, priors):
+        loc, conf, landms = RetinaFace.apply(params, x, network)
+        boxes = batched_decode(loc, priors, cfg["variance"])
+        lm = batched_decode_landm(landms, priors, cfg["variance"])
+        return boxes, conf[:, :, 1], lm
+
+    def detect_batch(frames_bgr_u8: np.ndarray, conf_threshold: float = 0.8):
+        frames_bgr_u8 = np.asarray(frames_bgr_u8)
+        n, h, w = frames_bgr_u8.shape[:3]
+        if (n, h, w) not in fns:
+            priors = jnp.asarray(prior_box(cfg, (h, w)))
+            f = (lambda x, _p=priors: device_part(x, _p))
+            fns[(n, h, w)] = jax.jit(f) if jit else f
+        x = frames_bgr_u8.astype(np.float32) - np.asarray(MEAN_BGR, np.float32)
+        boxes, scores, landms = fns[(n, h, w)](jnp.asarray(x))
+        scale = np.array([w, h, w, h], np.float32)
+        scale1 = np.array([w, h] * 5, np.float32)
+        boxes = np.asarray(boxes) * scale
+        landms = np.asarray(landms) * scale1
+        scores = np.asarray(scores)
+        return [_filter_sort_nms(b, s, l, conf_threshold, nms_threshold)
+                for b, s, l in zip(boxes, scores, landms)]
+
+    return detect_batch
+
+
 def make_detector_fn(params, network="resnet50", nms_threshold=0.4, jit=True):
     """Returns detector(img_bgr_u8, conf_threshold) -> (N, 15) numpy — the
     FaceRestoreHelper plug-in interface (detect_faces, retinaface.py:208-252).
-    One jitted program per input shape."""
+    One jitted program per input shape. The whole-clip variant is attached
+    as detector.detect_batch (the pipeline auto-uses it for uniform clips)."""
     cfg = CFG[network]
     fns = {}
 
@@ -269,12 +328,9 @@ def make_detector_fn(params, network="resnet50", nms_threshold=0.4, jit=True):
         boxes = np.asarray(boxes) * scale
         landms = np.asarray(landms) * scale1
         scores = np.asarray(scores)
-        inds = scores > conf_threshold
-        boxes, landms, scores = boxes[inds], landms[inds], scores[inds]
-        order = scores.argsort()[::-1]
-        boxes, landms, scores = boxes[order], landms[order], scores[order]
-        dets = np.hstack([boxes, scores[:, None]]).astype(np.float32)
-        keep = nms_numpy(dets, nms_threshold)
-        return np.concatenate([dets[keep], landms[keep]], axis=1)
+        return _filter_sort_nms(boxes, scores, landms, conf_threshold,
+                                nms_threshold)
 
+    detector.detect_batch = make_batched_detector_fn(
+        params, network=network, nms_threshold=nms_threshold, jit=jit)
     return detector

@@ -215,6 +215,52 @@ class KEEPFaceProcessor:
             upsample_img=bg_final, draw_box=draw_box,
             face_upsampler=self.face_upscaler)
 
+    def _detect_all(self, frames_bgr: List[np.ndarray], only_center_face: bool,
+                    progress: Optional[Callable]) -> List[List[np.ndarray]]:
+        """Stage-1 detection over all frames. Uniform-shape clips with a
+        batch-capable detector (detector.detect_batch, the reference's
+        batched_detect_faces retinaface.py:327-383) run as ONE device
+        program; otherwise per-frame like the reference loop
+        (keep_processor.py:206-214). Same read_image preprocessing, resize
+        cap and selection filters either way."""
+        helper = self.face_helper
+        det_batch = getattr(helper.detector, "detect_batch", None)
+        uniform = len({f.shape for f in frames_bgr}) == 1
+        raw: List[List[np.ndarray]] = []
+        if det_batch is not None and uniform and len(frames_bgr) > 1:
+            prepped = []
+            for f in frames_bgr:
+                helper.clean_all()
+                helper.read_image(f)  # 16-bit/gray/alpha + min-side rules
+                prepped.append(helper.input_img)
+            if len({p.shape for p in prepped}) == 1:
+                small0, scale_back = helper.resize_for_detection(prepped[0], 640)
+                stack = np.stack(
+                    [small0] + [helper.resize_for_detection(p, 640)[0]
+                                for p in prepped[1:]])
+                rows_per_frame = det_batch(stack, conf_threshold=0.97)
+                for p, rows in zip(prepped, rows_per_frame):
+                    if rows is None or len(rows) == 0:
+                        raw.append([])
+                    else:
+                        lms, _ = helper.select_landmarks_5(
+                            np.asarray(rows) * scale_back, p.shape[:2],
+                            only_center_face=only_center_face,
+                            eye_dist_threshold=5)
+                        raw.append(lms)
+                    if progress:
+                        progress(1)
+                return raw
+        for f in frames_bgr:
+            helper.clean_all()
+            helper.read_image(f)
+            helper.get_face_landmarks_5(only_center_face=only_center_face,
+                                        resize=640, eye_dist_threshold=5)
+            raw.append(list(helper.all_landmarks_5))
+            if progress:
+                progress(1)
+        return raw
+
     def process_image_sequence(self, frames_bgr: List[np.ndarray],
                                final_upscale_factor: float = 1.0,
                                has_aligned_frames: bool = False,
@@ -234,15 +280,7 @@ class KEEPFaceProcessor:
         if not has_aligned_frames:
             if helper is None:
                 raise RuntimeError("unaligned path requires a face_helper")
-            raw: List[List[np.ndarray]] = []
-            for i in range(n_frames):
-                helper.clean_all()
-                helper.read_image(frames_bgr[i])
-                helper.get_face_landmarks_5(only_center_face=only_center_face,
-                                            resize=640, eye_dist_threshold=5)
-                raw.append(list(helper.all_landmarks_5))
-                if progress:
-                    progress(1)
+            raw = self._detect_all(frames_bgr, only_center_face, progress)
 
             if only_center_face:
                 seq = [lms[0] if lms else np.full((5, 2), np.nan) for lms in raw]

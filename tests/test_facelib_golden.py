@@ -328,3 +328,51 @@ class TestDetectFacesComposed:
                                        rtol=1e-3)
             np.testing.assert_allclose(ours[j, 4], r[4], atol=1e-4,
                                        rtol=1e-4)
+
+
+class TestBatchedDetector:
+    def test_batched_matches_per_frame(self, rng):
+        """detect_batch (the reference's batched_detect_faces,
+        retinaface.py:327-383) yields the same (n, 15) rows per frame as N
+        single-image calls."""
+        from comfyui_keep_tpu.models.retinaface import (RetinaFace,
+                                                        make_detector_fn)
+        params = RetinaFace.init(jax.random.PRNGKey(0), network="mobile0.25")
+        det = make_detector_fn(params, network="mobile0.25", jit=False)
+        frames = (rng.random((3, 64, 96, 3)) * 255).astype(np.uint8)
+        batched = det.detect_batch(frames, conf_threshold=0.0)
+        assert len(batched) == 3
+        for f, rows in zip(frames, batched):
+            single = det(f, conf_threshold=0.0)
+            assert rows.shape == single.shape
+            np.testing.assert_allclose(rows, single, atol=2e-2, rtol=1e-3)
+            # NMS survivors and their order must agree exactly
+            assert rows.shape[0] == single.shape[0]
+
+    def test_pipeline_batched_stage1_matches_sequential(self, rng):
+        """_detect_all takes the one-program path for uniform clips and
+        returns the same landmark lists as the per-frame loop."""
+        from comfyui_keep_tpu.facelib.helper import FaceRestoreHelper
+        from comfyui_keep_tpu.models.retinaface import (RetinaFace,
+                                                        make_detector_fn)
+        from comfyui_keep_tpu.pipeline.processor import KEEPFaceProcessor
+
+        params = RetinaFace.init(jax.random.PRNGKey(1), network="mobile0.25")
+        det = make_detector_fn(params, network="mobile0.25", jit=False)
+        helper = FaceRestoreHelper(face_size=64, detector=det, parser=None,
+                                   use_parse=False)
+        proc = KEEPFaceProcessor.__new__(KEEPFaceProcessor)
+        proc.face_helper = helper
+        frames = [(rng.random((64, 96, 3)) * 255).astype(np.uint8)
+                  for _ in range(3)]
+        raw_batched = proc._detect_all(frames, only_center_face=False,
+                                       progress=None)
+        det_nobatch = lambda img, conf_threshold=0.8: det(img, conf_threshold)
+        helper.detector = det_nobatch  # strips detect_batch -> per-frame path
+        raw_seq = proc._detect_all(frames, only_center_face=False,
+                                   progress=None)
+        assert len(raw_batched) == len(raw_seq) == 3
+        for lb, ls in zip(raw_batched, raw_seq):
+            assert len(lb) == len(ls)
+            for a, b in zip(lb, ls):
+                np.testing.assert_allclose(a, b, atol=2e-2, rtol=1e-3)
