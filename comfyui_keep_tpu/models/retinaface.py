@@ -334,3 +334,22 @@ def make_detector_fn(params, network="resnet50", nms_threshold=0.4, jit=True):
     detector.detect_batch = make_batched_detector_fn(
         params, network=network, nms_threshold=nms_threshold, jit=jit)
     return detector
+
+
+def align_multi(detector, img_bgr_u8, conf_threshold=0.8, limit=None):
+    """Detect + warp each face to the 112x112 ArcFace template (reference
+    retinaface.py:254-279: detect_faces -> warp_and_crop_face per face with
+    the default_square reference points). Returns ((n, 15) rows, faces)."""
+    from comfyui_keep_tpu.facelib.align_trans import (
+        get_reference_facial_points, warp_and_crop_face)
+    rows = detector(img_bgr_u8, conf_threshold)
+    if rows is None or len(rows) == 0:
+        return np.zeros((0, 15), np.float32), []
+    rows = np.asarray(rows)
+    if limit:
+        rows = rows[:limit]
+    reference = get_reference_facial_points(default_square=True)
+    faces = [warp_and_crop_face(
+        np.array(img_bgr_u8), row[5:].reshape(5, 2), reference,
+        crop_size=(112, 112)) for row in rows]
+    return rows, faces

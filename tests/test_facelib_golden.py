@@ -376,3 +376,23 @@ class TestBatchedDetector:
             assert len(lb) == len(ls)
             for a, b in zip(lb, ls):
                 np.testing.assert_allclose(a, b, atol=2e-2, rtol=1e-3)
+
+
+def test_align_multi(rng):
+    """align_multi (retinaface.py:254-279): detect -> 112x112 ArcFace-template
+    warps, limit honored."""
+    from comfyui_keep_tpu.models.retinaface import align_multi
+    rows_fixed = np.asarray(
+        [[10, 10, 50, 50, 0.99, 20, 20, 40, 20, 30, 30, 22, 40, 38, 40],
+         [5, 5, 30, 30, 0.9, 10, 10, 20, 10, 15, 15, 11, 20, 19, 20]],
+        np.float32)
+    det = lambda img, conf: rows_fixed
+    img = (rng.random((64, 64, 3)) * 255).astype(np.uint8)
+    rows, faces = align_multi(det, img, conf_threshold=0.5)
+    assert rows.shape == (2, 15) and len(faces) == 2
+    assert all(f.shape == (112, 112, 3) for f in faces)
+    rows, faces = align_multi(det, img, limit=1)
+    assert rows.shape == (1, 15) and len(faces) == 1
+    det_none = lambda img, conf: np.zeros((0, 15), np.float32)
+    rows, faces = align_multi(det_none, img)
+    assert rows.shape == (0, 15) and faces == []
