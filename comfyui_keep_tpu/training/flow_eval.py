@@ -46,6 +46,17 @@ def _epe_map(pred, gt):
     return np.sqrt(np.sum((pred - gt) ** 2, axis=-1))
 
 
+def compute_out_of_boundary_mask(flow):
+    """In-image-plane validity of GT correspondences (gmflow
+    utils/utils.py:36-53). flow: (H, W, 2) channels-last -> (H, W) bool."""
+    h, w = flow.shape[:2]
+    xs = np.arange(w, dtype=np.float32)[None, :] + flow[..., 0]
+    ys = np.arange(h, dtype=np.float32)[:, None] + flow[..., 1]
+    valid = (xs >= 0) & (xs <= w - 1) & (ys >= 0) & (ys <= h - 1)
+    flow_ok = (np.abs(flow[..., 0]) <= w - 1) & (np.abs(flow[..., 1]) <= h - 1)
+    return valid & flow_ok
+
+
 def _bucket_mean(lst):
     return float(np.mean(np.concatenate(lst))) if lst else float("nan")
 
@@ -145,7 +156,10 @@ def validate_sintel(flow_fn, root="datasets/Sintel", dstype="clean",
         epe = _epe_map(pred, s["flow"])
         epe_list.append(epe.reshape(-1))
         if evaluate_matched_unmatched:
-            noc = s["noc_valid"] > 0.5  # non-occluded
+            # matched = non-occluded AND flow stays in the image plane
+            # (evaluate.py:326,362: noc_valid & compute_out_of_boundary_mask)
+            noc = (s["noc_valid"] > 0.5) & compute_out_of_boundary_mask(
+                s["flow"])
             if noc.any():
                 matched.append(epe[noc])
             if (~noc).any():

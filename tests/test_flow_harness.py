@@ -213,3 +213,19 @@ class TestGMFlowTrainer:
         moved = jax.tree.map(lambda a, b: not np.allclose(a, b),
                              p0, jax.tree.map(np.asarray, state.params))
         assert any(jax.tree.leaves(moved))
+
+
+def test_out_of_boundary_mask():
+    """compute_out_of_boundary_mask parity (gmflow utils/utils.py:36-53):
+    correspondence must stay in-plane AND |flow| bounded by the image."""
+    from comfyui_keep_tpu.training.flow_eval import compute_out_of_boundary_mask
+    h, w = 4, 5
+    flow = np.zeros((h, w, 2), np.float32)
+    flow[0, 0] = (-1.0, 0.0)        # lands at x=-1 -> out
+    flow[1, 1] = (3.0, 2.0)         # lands at (4, 3) -> in
+    flow[2, 2] = (10.0, 0.0)        # |u| > w-1 -> out (large-flow guard)
+    flow[3, 4] = (0.0, 0.5)         # lands at y=3.5 -> out (y > h-1)
+    m = compute_out_of_boundary_mask(flow)
+    assert m.shape == (h, w)
+    assert not m[0, 0] and m[1, 1] and not m[2, 2] and not m[3, 4]
+    assert m[0, 1]  # zero flow interior stays valid
