@@ -174,6 +174,42 @@ class HiFaceGAN:
         h = conv2d(leaky_relu(h, 0.2), rgb["w"], rgb["b"], padding=1)
         return jnp.tanh(h)
 
+    @staticmethod
+    def mixed_guidance_forward(params, input_x, seg=None, n=0,
+                               mode="progressive", num_feat=64, phase=4):
+        """Subspace-visualization forward (hifacegan_arch.py:96-141): the
+        first n SPADE stages are guided by input_x, the rest by seg
+        ('progressive' AAABBB; 'one_plug' AAABAA; 'one_ablate' BBBABB)."""
+        if seg is None:
+            return HiFaceGAN.apply(params, input_x, num_feat, phase)
+        total = 4 + phase
+        if mode == "progressive":
+            n = max(min(n, total), 0)
+            guides = [input_x] * n + [seg] * (total - n)
+        elif mode == "one_plug":
+            n = max(min(n, total - 1), 0)
+            guides = [seg] * total
+            guides[n] = input_x
+        elif mode == "one_ablate":
+            if n > total - 1:
+                return HiFaceGAN.apply(params, input_x, num_feat, phase)
+            guides = [input_x] * total
+            guides[n] = seg
+        else:
+            raise ValueError(f"unknown mode {mode!r}")
+        h = lip_encoder(params["lip_encoder"], guides[0], num_feat,
+                        HiFaceGAN.SCALE_RATIO)
+        h = _spade_res(params["head_0"], h, guides[1])
+        h = upsample_nearest_2x(h)
+        h = _spade_res(params["g_middle_0"], h, guides[2])
+        h = _spade_res(params["g_middle_1"], h, guides[3])
+        for i in range(phase):
+            h = upsample_nearest_2x(h)
+            h = _spade_res(params["ups"][i], h, guides[4 + i])
+        rgb = params["to_rgbs"][phase - 1]
+        h = conv2d(leaky_relu(h, 0.2), rgb["w"], rgb["b"], padding=1)
+        return jnp.tanh(h)
+
 
 @ARCH_REGISTRY.register(name="HiFaceGANDiscriminator")
 class HiFaceGANDiscriminator:

@@ -40,3 +40,35 @@ def test_dfdnet_forward(rng):
     out = DFDNet.apply(p, x, locs)
     assert out.shape == (1, 512, 512, 3)
     assert np.isfinite(np.asarray(out)).all()
+
+
+def test_hifacegan_mixed_guidance_forward(rng):
+    """mixed_guidance_forward (hifacegan_arch.py:96-141): seg==input reduces
+    to the plain forward in every mode; mode semantics hold."""
+    import jax
+    from comfyui_keep_tpu.models.hifacegan import HiFaceGAN
+    p = HiFaceGAN.init(jax.random.PRNGKey(0), num_in_ch=3, num_feat=4)
+    x = jnp.asarray(rng.random((1, 32, 32, 3), dtype=np.float32))
+    y = jnp.asarray(rng.random((1, 32, 32, 3), dtype=np.float32))
+    base = HiFaceGAN.apply(p, x, num_feat=4, phase=1)
+    for mode in ("progressive", "one_plug", "one_ablate"):
+        same = HiFaceGAN.mixed_guidance_forward(p, x, x, n=2, mode=mode,
+                                                num_feat=4, phase=1)
+        np.testing.assert_allclose(np.asarray(same), np.asarray(base),
+                                   atol=1e-6, err_msg=mode)
+    # seg=None falls back to the plain forward
+    np.testing.assert_allclose(
+        np.asarray(HiFaceGAN.mixed_guidance_forward(p, x, None, num_feat=4,
+                                                    phase=1)),
+        np.asarray(base), atol=1e-6)
+    # progressive n=total == all-input guidance == plain forward on x
+    total = 4 + 1
+    np.testing.assert_allclose(
+        np.asarray(HiFaceGAN.mixed_guidance_forward(p, x, y, n=total,
+                                                    mode="progressive",
+                                                    num_feat=4, phase=1)),
+        np.asarray(base), atol=1e-6)
+    # a mixed call actually differs from the plain forward
+    mixed = HiFaceGAN.mixed_guidance_forward(p, x, y, n=2, mode="progressive",
+                                             num_feat=4, phase=1)
+    assert not np.allclose(np.asarray(mixed), np.asarray(base), atol=1e-4)
