@@ -43,10 +43,22 @@ class BaseTrainer:
                                         train_opt.get("warmup_iter", -1))
         self._step_fn = None
 
+    def _tp_axis(self):
+        """Mesh axis name for tensor parallelism, if the mesh has one."""
+        if self.mesh is not None and "model" in self.mesh.axis_names \
+                and int(self.mesh.shape["model"]) > 1:
+            return "model"
+        return None
+
     # subclasses define: init_params(key), loss_fn(params, batch, rngs)
     def make_state(self, key) -> TrainState:
         import jax
         params = self.init_params(key)
+        if self._tp_axis():
+            # Megatron-style column/row param shards; tx.init and the EMA
+            # copy inherit the committed shardings leaf-by-leaf.
+            from ..parallel.tensor import shard_params
+            params = shard_params(params, self.mesh, self._tp_axis())
         tx = self.make_optimizer(params)
         self.tx = tx
         opt_state = tx.init(params)
@@ -75,7 +87,12 @@ class BaseTrainer:
                     ema = ema_update(ema, params, self.ema_decay)
                 return params, opt_state, ema, loss_dict
 
-            if self.mesh is not None:
+            if self.mesh is not None and self._tp_axis():
+                # dp x tp: params/opt_state/ema arrive committed with their
+                # tensor-parallel shardings (make_state); only the batch
+                # needs placing. GSPMD inserts the activation all-reduces.
+                self._step_fn = jax.jit(step)
+            elif self.mesh is not None:
                 from jax.sharding import NamedSharding, PartitionSpec as P
                 repl = NamedSharding(self.mesh, P())
                 dp = NamedSharding(self.mesh, P("data"))
@@ -86,6 +103,9 @@ class BaseTrainer:
                 self._step_fn = jax.jit(step)
         import jax as _j
         rng = rng if rng is not None else _j.random.PRNGKey(state.iter)
+        if self._tp_axis():
+            from jax.sharding import NamedSharding, PartitionSpec as P
+            batch = _j.device_put(batch, NamedSharding(self.mesh, P("data")))
         params, opt_state, ema, loss_dict = self._step_fn(
             state.params, state.opt_state, state.ema_params, batch, rng)
         state.params, state.opt_state, state.ema_params = params, opt_state, ema
