@@ -2,11 +2,11 @@
 wm_basicsr/metrics/niqe.py:144-170; paper: Mittal et al., "Making a
 'Completely Blind' Image Quality Analyzer").
 
-The pristine-model statistics (mu/cov) are pretrained data, not code; they
-are loaded from `KEEP_TPU_NIQE_PARAMS` (a niqe_pris_params.npz as shipped by
-BasicSR) or auto-discovered from a mounted reference checkout. The 7x7
-gaussian smoothing window is computed analytically (fspecial('gaussian', 7,
-7/6)).
+The pristine-model statistics (mu/cov) are pretrained data, not code; a
+vendored copy ships in `metrics/assets/niqe_pris_params.npz` (identical to
+BasicSR's fixture, which the reference vendors the same way). An external
+file can override it via `KEEP_TPU_NIQE_PARAMS`. The 7x7 gaussian smoothing
+window is computed analytically (fspecial('gaussian', 7, 7/6)).
 """
 import math
 import os
@@ -27,7 +27,8 @@ from comfyui_keep_tpu.utils.registry import METRIC_REGISTRY
 
 _PARAM_SEARCH_PATHS = (
     os.environ.get("KEEP_TPU_NIQE_PARAMS", ""),
-    "/root/reference/modules/deps/wm_basicsr/metrics/niqe_pris_params.npz",
+    os.path.join(os.path.dirname(os.path.abspath(__file__)),
+                 "assets", "niqe_pris_params.npz"),
 )
 
 
