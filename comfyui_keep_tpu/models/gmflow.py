@@ -305,6 +305,39 @@ def _tlayer_apply(p, source, target, h, w, splits, shift, mask):
     return source + msg
 
 
+def _sublayer_windowed(p, sw, tw, bias):
+    """One transformer sublayer entirely in window layout (B·k², win, C).
+    Every op except the windowed attention is per-token, so it commutes
+    with the window permutation — results are identical to the flat-layout
+    sublayer while the (B, H·W, C) <-> window relayout is hoisted out."""
+    c = sw.shape[-1]
+    scale = 1.0 / math.sqrt(c)
+    if tw is sw:
+        qkv = sw @ jnp.concatenate(
+            [p["q_proj"]["w"], p["k_proj"]["w"], p["v_proj"]["w"]], axis=1)
+        q, k, v = jnp.split(qkv, 3, axis=-1)
+    else:
+        q = sw @ p["q_proj"]["w"]
+        kv = tw @ jnp.concatenate([p["k_proj"]["w"], p["v_proj"]["w"]],
+                                  axis=1)
+        k, v = jnp.split(kv, 2, axis=-1)
+    out = _sdpa(q, k, v, scale, bias=bias)
+    msg = layer_norm(out @ p["merge"]["w"], p["norm1"])
+    if "mlp" in p:
+        w1 = p["mlp"][0]["w"]
+        from comfyui_keep_tpu.ops.pallas_kernels import (_HAVE_PALLAS,
+                                                         _on_tpu,
+                                                         mlp_fused_pallas)
+        if (_HAVE_PALLAS and _on_tpu() and sw.dtype == jnp.bfloat16
+                and c % 128 == 0 and w1.shape[1] % 128 == 0):
+            return mlp_fused_pallas(sw, msg, w1[:c], w1[c:],
+                                    p["mlp"][2]["w"], p["norm2"]["scale"],
+                                    p["norm2"]["bias"])
+        hmid = gelu(sw @ w1[:c] + msg @ w1[c:])
+        msg = layer_norm(hmid @ p["mlp"][2]["w"], p["norm2"])
+    return sw + msg
+
+
 def transformer_init(key, d_model=128, num_layers=6):
     ks = jax.random.split(key, num_layers)
     return {"layers": [
@@ -315,16 +348,33 @@ def transformer_init(key, d_model=128, num_layers=6):
 
 def transformer_apply(p, f0, f1, attn_splits: int):
     """f0/f1: (B, H, W, C). Both images processed as one 2B batch, swapped
-    each layer (transformer.py:301-316)."""
+    each layer (transformer.py:301-316). With window attention the tokens
+    stay in window layout across each layer's self+cross+FFN (self and
+    cross share the layer's shift), and the image swap happens on the
+    window batch — 3 relayout passes per layer instead of 6."""
     b, h, w, c = f0.shape
-    mask = shifted_window_mask(h, w, attn_splits) if attn_splits > 1 else None
     c0 = jnp.concatenate([f0, f1], axis=0).reshape(2 * b, h * w, c)
-    c1 = jnp.concatenate([f1, f0], axis=0).reshape(2 * b, h * w, c)
-    for i, layer in enumerate(p["layers"]):
-        shift = (i % 2 == 1)
-        c0 = _tlayer_apply(layer["self_attn"], c0, c0, h, w, attn_splits, shift, mask)
-        c0 = _tlayer_apply(layer["cross_attn_ffn"], c0, c1, h, w, attn_splits, shift, mask)
+    if attn_splits > 1:
+        mask = shifted_window_mask(h, w, attn_splits)
+        half = b * attn_splits * attn_splits  # f0-half of the window batch
+        for i, layer in enumerate(p["layers"]):
+            shift = (i % 2 == 1)
+            bias = jnp.asarray(mask, jnp.float32) if shift else None
+            sw = _prep_tokens(c0, 2 * b, h, w, c, attn_splits, shift)
+            # prep commutes with the batch swap: target windows are the
+            # swapped halves of the source windows
+            tw = jnp.concatenate([sw[half:], sw[:half]], axis=0)
+            sw = _sublayer_windowed(layer["self_attn"], sw, sw, bias)
+            sw = _sublayer_windowed(layer["cross_attn_ffn"], sw, tw, bias)
+            c0 = _unprep_tokens(sw, 2 * b, h, w, c, attn_splits, shift)
+    else:
         c1 = jnp.concatenate([c0[b:], c0[:b]], axis=0)
+        for i, layer in enumerate(p["layers"]):
+            c0 = _tlayer_apply(layer["self_attn"], c0, c0, h, w, 1, False,
+                               None)
+            c0 = _tlayer_apply(layer["cross_attn_ffn"], c0, c1, h, w, 1,
+                               False, None)
+            c1 = jnp.concatenate([c0[b:], c0[:b]], axis=0)
     f0 = c0[:b].reshape(b, h, w, c)
     f1 = c0[b:].reshape(b, h, w, c)
     return f0, f1
