@@ -86,6 +86,36 @@ class KEEPFaceProcessor:
         self._fns[t] = jitted
         return jitted
 
+    def _restore_mapped_fn(self, t: int, n_chunks: int):
+        """One jitted program restoring n_chunks independent t-frame chunks
+        via lax.map of B=1 bodies — bit-identical to n_chunks sequential
+        _restore_fn calls (each map body IS the B=1 program; batching on the
+        batch axis instead hits the XLA B=2 conv-layout pathology,
+        docs/ROADMAP.md). One dispatch + one host fetch for the whole
+        stream replaces the reference's host chunk loop
+        (keep_processor.py:263-270)."""
+        key = ("mapped", t, n_chunks)
+        if key in self._fns:
+            return self._fns[key]
+        import jax
+        from comfyui_keep_tpu.models.keep import KEEP
+        from comfyui_keep_tpu.models.gmflow import flow_from_clip
+        cfg = self.keep_cfg
+        gm = self.gmflow_params
+
+        def fn(keep_params, gm_params, x):  # x: (n_chunks, t, H, W, 3)
+            def one(xc):
+                flows = (flow_from_clip(gm_params, xc[None], planes=True)
+                         if gm is not None else None)
+                return KEEP.apply(keep_params, xc[None], flows=flows,
+                                  remat=False, scan_unroll=2, **cfg)[0]
+
+            return jax.lax.map(one, x)
+
+        jitted = jax.jit(fn)
+        self._fns[key] = jitted
+        return jitted
+
     def _restore_carry_fn(self, t: int, first: bool):
         """Jitted program for carried-state streaming: first-chunk variant
         returns (out, carry); continuation takes (prev_last_frame, carry) and
@@ -137,6 +167,23 @@ class KEEPFaceProcessor:
         x_all = np.stack([bgr_u8_to_rgb_pm1(f) for f in faces_bgr_u8])
         outs: List[np.ndarray] = []
         carry = None
+        if not carry_chunks and n >= 2 * max_clip_length:
+            # batched serving: all full-length chunks in ONE program
+            # (lax.map of B=1 bodies — bit-identical to the sequential
+            # loop below), ragged tail handled by the loop
+            n_full = n // max_clip_length
+            head = n_full * max_clip_length
+            xc = jnp.asarray(
+                x_all[:head].reshape(n_full, max_clip_length,
+                                     *x_all.shape[1:]), self.dtype)
+            out = self._restore_mapped_fn(max_clip_length, n_full)(
+                self.keep_params, self.gmflow_params, xc)
+            out = np.asarray(out, np.float32).reshape(head, *x_all.shape[1:])
+            outs.extend(rgb_pm1_to_bgr_u8(o) for o in out)
+            if head == n:
+                return outs
+            x_all = x_all[head:]
+            n -= head
         for start in range(0, n, max_clip_length):
             clip = x_all[start:start + max_clip_length]
             dup = not carry_chunks and clip.shape[0] == 1

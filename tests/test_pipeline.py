@@ -65,6 +65,24 @@ def test_one_frame_remainder_duplicates(pack, rng):
     np.testing.assert_array_equal(out[3], single[0])
 
 
+def test_batched_full_chunks_bitwise(pack, rng):
+    """Streams with >= 2 full chunks run all full chunks as ONE lax.map
+    program by default (VERDICT r2 item 4); outputs must be BIT-equal to
+    chunk-at-a-time dispatch, including with a ragged tail."""
+    proc = pack.processor()
+    for n in (8, 9):  # exact multiple and ragged tail
+        faces = [(rng.random((64, 64, 3)) * 255).astype(np.uint8)
+                 for _ in range(n)]
+        batched = proc.restore_face_stream(faces, max_clip_length=2)
+        manual = []
+        for s in range(0, n, 2):
+            manual.extend(proc.restore_face_stream(faces[s:s + 2],
+                                                   max_clip_length=2))
+        assert len(batched) == n
+        for a, b in zip(batched, manual):
+            np.testing.assert_array_equal(a, b)
+
+
 def test_no_faces_returns_bg(pack, rng):
     img = (rng.random((70, 90, 3)) * 255).astype(np.uint8)
     from comfyui_keep_tpu.facelib.helper import FaceRestoreHelper
