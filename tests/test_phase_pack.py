@@ -180,9 +180,10 @@ class TestPackedPlans:
         params = KEEP.init(jax.random.PRNGKey(0), **cfg)
         prepared = KEEP.prepare_phase512(params, **cfg)
         assert prepared is params  # img_size != 512 -> unchanged
-        x = jax.random.normal(jax.random.PRNGKey(1), (1, 2, 64, 64, 3)) * 0.3
+        s = cfg["img_size"]
+        x = jax.random.normal(jax.random.PRNGKey(1), (1, 2, s, s, 3)) * 0.3
         out = KEEP.apply(prepared, x, remat=False, **cfg)
-        assert out.shape == (1, 2, 64, 64, 3)
+        assert out.shape == (1, 2, s, s, 3)
 
     @pytest.mark.slow
     def test_keep_full_512_parity(self):
