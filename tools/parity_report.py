@@ -747,16 +747,31 @@ def main(argv=None):
                    help="float64 = certification mode: both frameworks run "
                         "the net in f64 so PSNR reflects structural parity, "
                         "not fp32 noise amplified through deep random nets")
+    p.add_argument("--backend", default="cpu", choices=["cpu", "tpu"],
+                   help="backend OUR side runs on (the torch reference is "
+                        "always CPU). tpu = certify the real serving "
+                        "backend; combine with --matmul-precision highest "
+                        "to disable the default bf16-ish TPU matmuls")
+    p.add_argument("--matmul-precision", default=None,
+                   choices=["default", "high", "highest"],
+                   help="jax default_matmul_precision (TPU: 'highest' "
+                        "forces f32-accurate matmuls/convs; required to "
+                        "meet the 40 dB bar on the tpu backend)")
     args = p.parse_args(argv)
     args.np_dtype = None if args.dtype == "float32" else args.dtype
     # The image's sitecustomize imports jax at interpreter startup with the
     # axon/TPU platform, so JAX_PLATFORMS/JAX_ENABLE_X64 env vars are TOO
     # LATE here; jax.config works until the first backend touch. Parity vs
-    # the torch reference REQUIRES the CPU backend — TPU matmuls/convs run
-    # bf16-ish by default, a deterministic ~1e-2 deviation that no dtype
-    # flag removes (tests/conftest.py documents the same trap).
+    # the torch reference needs either the CPU backend or --backend tpu
+    # with --matmul-precision highest — TPU matmuls/convs run bf16-ish by
+    # default, a deterministic ~1e-2 deviation that no dtype flag removes
+    # (tests/conftest.py documents the same trap).
     import jax
-    jax.config.update("jax_platforms", "cpu")
+    if args.backend == "cpu":
+        jax.config.update("jax_platforms", "cpu")
+    if args.matmul_precision and args.matmul_precision != "default":
+        jax.config.update("jax_default_matmul_precision",
+                          args.matmul_precision)
     if args.np_dtype == "float64":
         jax.config.update("jax_enable_x64", True)
 
@@ -780,6 +795,9 @@ def main(argv=None):
     report = {
         "keep_ckpt": args.keep_ckpt,
         "variant": args.variant,
+        "backend": args.backend,
+        "matmul_precision": args.matmul_precision or "default",
+        "dtype": args.dtype,
         "reference_run": ref is not None,
         "reference_skip_reason": ref_reason,
         "bar_psnr_db": args.bar,
