@@ -233,8 +233,13 @@ class KEEP:
     # -- forward pieces -----------------------------------------------------
 
     @staticmethod
-    def _tokens_to_code(params, cfg, z_hat):
-        """Latent (B, h, w, C) -> (quant_feat, logits, query_emb tokens)."""
+    def _tokens_to_code(params, cfg, z_hat, force_idx=None):
+        """Latent (B, h, w, C) -> (quant_feat, logits, query_emb tokens).
+
+        force_idx: optional (B, L) int32 codebook indices that replace the
+        argmax pick (teacher-forcing). Used by the parity certification to
+        separate discrete code-selection agreement from continuous numeric
+        fidelity (reference keep_arch.py:1086-1089 picks top-1 per frame)."""
         b, h, w, c = z_hat.shape
         tokens = z_hat.reshape(b, h * w, c)
         q = linear(tokens, params["feat_emb"]["w"], params["feat_emb"]["b"])
@@ -243,7 +248,7 @@ class KEEP:
             q = L.transformer_sa_layer(lp, q, query_pos=pos, num_heads=cfg["n_head"])
         hnorm = layer_norm(q, params["idx_pred_layer"][0])
         logits = hnorm @ params["idx_pred_layer"][1]["w"]  # (B, L, codebook)
-        top_idx = jnp.argmax(logits, axis=-1)
+        top_idx = jnp.argmax(logits, axis=-1) if force_idx is None else force_idx
         quant = vq_lookup(params["quantize"], top_idx).reshape(b, h, w, -1)
         return quant, logits, q
 
@@ -294,7 +299,8 @@ class KEEP:
     @staticmethod
     def apply(params, x, flows=None, *, detach_16=True, need_upscale=False,
               return_aux=False, remat=True, profile_mode=None, carry=None,
-              return_carry=False, scan_unroll: int = 1, **cfg):
+              return_carry=False, scan_unroll: int = 1, force_indices=None,
+              **cfg):
         """x: (B, T, H, W, 3) in [-1, 1] -> (B, T, 512, 512, 3).
 
         flows: (B, T-1, H, W, 2) forward flows (frame i -> i-1 displacement
@@ -354,7 +360,9 @@ class KEEP:
             init, start, gen_feats0 = carry, 0, None
         else:
             # --- frame 0 (no propagation) -----------------------------------
-            quant0, logits0, _ = KEEP._tokens_to_code(params, cfg, z_codes[:, 0])
+            quant0, logits0, _ = KEEP._tokens_to_code(
+                params, cfg, z_codes[:, 0],
+                force_idx=None if force_indices is None else force_indices[:, 0])
             if detach_16:
                 quant0 = jax.lax.stop_gradient(quant0)
             out0, cfa_feats0, gen_feats0 = KEEP._decode_frame(
@@ -384,7 +392,10 @@ class KEEP:
         # --- frames 1..T-1 as lax.scan --------------------------------------
         def step(carry, inp):
             prev_out, prev_cfa = carry
-            z_t, gain_t, fx_t, fy_t, enc_t = inp
+            if force_indices is None:
+                (z_t, gain_t, fx_t, fy_t, enc_t), fi_t = inp, None
+            else:
+                z_t, gain_t, fx_t, fy_t, enc_t, fi_t = inp
             # profile_mode isolates scan-step components for perf triage
             if profile_mode == "no_hq":
                 z_hat = z_t
@@ -402,7 +413,8 @@ class KEEP:
                     (z_hat.shape[0], cfg["latent_size"], cfg["codebook_size"]),
                     z_hat.dtype)
             else:
-                quant, logits_t, _ = KEEP._tokens_to_code(params, cfg, z_hat)
+                quant, logits_t, _ = KEEP._tokens_to_code(params, cfg, z_hat,
+                                                          force_idx=fi_t)
             if detach_16:
                 quant = jax.lax.stop_gradient(quant)
             if profile_mode == "no_generator":
@@ -431,6 +443,8 @@ class KEEP:
             {f: jnp.moveaxis(enc_feats[f][:, start:], 1, 0)
              for f in cfg["cft_list"]},
         )
+        if force_indices is not None:
+            xs = xs + (jnp.moveaxis(force_indices[:, start:], 1, 0),)
         (fin_out, fin_cfa), (outs_rest, logits_rest, gen_feats_rest) = \
             jax.lax.scan(step_fn, init, xs, unroll=scan_unroll)
 

@@ -218,8 +218,13 @@ def attention_pallas(q, k, v, scale: float, bias=None, block_q: int = None,
     if block_q is None:
         # Largest q block whose f32 score block (bq, l) stays ~4 MB (2 MB
         # when a bias block rides along) — measured best on v5e at l=1024,
-        # d=128: 1024 no-bias (no K/V refetch), 512 with bias.
+        # d=128: 1024 no-bias (no K/V refetch), 512 with bias. The double-
+        # buffered K/V blocks ((l, d) × itemsize × 2 each) bill against the
+        # same ~16 MB scoped-vmem pool, so f32 inputs at large l must shrink
+        # the score budget or the kernel stack-OOMs (seen at f32 19×4096×128).
         budget = (4 << 20) if bias is None else (2 << 20)
+        kv_bytes = 4 * l * d * q.dtype.itemsize  # 2 bufs × (K + V)
+        budget = min(budget, max(1 << 20, ((14 << 20) - kv_bytes) // 2))
         cap = max(128, min(l, budget // (4 * l)))
         block_q = max((d for d in range(128, cap + 1, 128) if l % d == 0),
                       default=min(128, l))
