@@ -28,6 +28,28 @@ from comfyui_keep_tpu.utils.registry import ARCH_REGISTRY
 GN_EPS = 1e-6  # vqgan_arch.py:16-18: GroupNorm(32, eps=1e-6)
 
 
+def _int8_acts() -> bool:
+    """KEEP_TPU_INT8_ACTS=1: serving-time experiment — activations crossing
+    conv-block boundaries are stored int8 (dynamic per-tensor scale), compute
+    stays bf16/f32. Rationale: on v5e the i8-store/bf16-compute conv is ~21%
+    faster than bf16-in on the hot shapes (tools/_prof_int8.py,
+    docs/ROADMAP.md), the win being HBM bytes. Default OFF pending an
+    in-model speed + fidelity measurement."""
+    import os
+    return os.environ.get("KEEP_TPU_INT8_ACTS") == "1"
+
+
+def _quant_boundary(x):
+    """Round-trip x through an int8 HBM materialization: quantize with a
+    dynamic per-tensor scale, force the int8 buffer with an
+    optimization_barrier (otherwise XLA fuses quant+dequant into one fusion
+    whose bf16 root is what materializes), dequantize into the consumer."""
+    s = jnp.maximum(jnp.max(jnp.abs(x)).astype(jnp.float32) / 127.0, 1e-8)
+    xq = jnp.clip(jnp.round(x.astype(jnp.float32) / s), -127, 127)
+    xq, s = jax.lax.optimization_barrier((xq.astype(jnp.int8), s))
+    return xq.astype(x.dtype) * s.astype(x.dtype)
+
+
 # ---------------------------------------------------------------------------
 # Block plans
 # ---------------------------------------------------------------------------
@@ -316,11 +338,14 @@ def _packed_encoder_prefix(params, plan, x, end: int, taps, tap_indices,
     run packed at parity 0 (its Downsample uses the parity-0 kernels — no
     parity-flipping init conv exists past level 0)."""
     from comfyui_keep_tpu.ops import phase_pack as pp
+    q = _int8_acts()
     true_hw = (x.shape[-3], x.shape[-2])
     x = pp.space_to_depth(x)
     parity = 0
     for i in range(end + 1):
         spec, p = plan[i], params["blocks"][i]
+        if q and i > 0:
+            x = _quant_boundary(x)
         if spec[0] == "conv":
             x = pp.packed_conv(x, p["p512"]["w"], p["p512"]["b"], parity)
             parity ^= 1
@@ -352,10 +377,13 @@ def packed_generator_tail(params, plan, x, start: int):
     the only full-layout tensors ever materialized are the small per-level
     inputs (<= half final res), never the 512x512x64 stack."""
     from comfyui_keep_tpu.ops import phase_pack as pp
+    q = _int8_acts()
     parity = None  # None = x is unpacked
     true_hw = None
     for j in range(start, len(plan)):
         spec, p = plan[j], params["blocks"][j]
+        if q and j > start and spec[0] != "norm":
+            x = _quant_boundary(x)
         if spec[0] == "up":
             if parity is None:
                 true_hw = (x.shape[-3] * 2, x.shape[-2] * 2)
@@ -404,8 +432,11 @@ def blocks_apply(params, plan, x, tap_indices: Optional[Sequence[int]] = None,
             x = _packed_encoder_prefix(params, plan, x, end, taps,
                                        tap_indices, remat)
             i0 = end + 1
+    q = _int8_acts()
     for i in range(i0, len(plan)):
         spec, p = plan[i], params["blocks"][i]
+        if q and i > i0 and spec[0] != "norm":
+            x = _quant_boundary(x)
         fn = _block_apply
         if remat and spec[0] in ("res", "attn"):
             fn = jax.checkpoint(_block_apply, static_argnums=(0,))

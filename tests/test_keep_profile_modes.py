@@ -81,3 +81,28 @@ def test_plane_flows_equal_interleaved(net):
     b = np.asarray(KEEP.apply(
         p, x, flows=(flows[..., 0], flows[..., 1]), **TINY))
     np.testing.assert_array_equal(a, b)
+
+
+class TestForceIndices:
+    """force_indices (teacher-forcing hook used by the parity
+    certification, tools/parity_report.py forced_net_compare)."""
+
+    def test_forcing_natural_indices_is_identity(self, net):
+        p, x, base = net
+        out, aux = KEEP.apply(p, x, return_aux=True, **TINY)
+        b, t = x.shape[:2]
+        idx = jnp.argmax(aux["logits"], axis=-1).reshape(b, t, -1)
+        forced = np.asarray(KEEP.apply(p, x, force_indices=idx, **TINY))
+        np.testing.assert_array_equal(forced, np.asarray(out))
+        np.testing.assert_array_equal(forced, base)
+
+    def test_forcing_other_indices_changes_output(self, net):
+        p, x, base = net
+        out, aux = KEEP.apply(p, x, return_aux=True, **TINY)
+        b, t = x.shape[:2]
+        idx = jnp.argmax(aux["logits"], axis=-1).reshape(b, t, -1)
+        other = (idx + 1) % TINY["codebook_size"]
+        forced = np.asarray(KEEP.apply(p, x, force_indices=other, **TINY))
+        assert forced.shape == base.shape
+        assert np.isfinite(forced).all()
+        assert not np.array_equal(forced, base)

@@ -117,3 +117,25 @@ def test_vqgan_discriminator_parity(ref_and_params, rng):
     np.testing.assert_allclose(np.asarray(out),
                                ref_out.numpy().transpose(0, 2, 3, 1), atol=1e-4,
                                rtol=1e-4)
+
+
+def test_int8_acts_flag(monkeypatch):
+    """KEEP_TPU_INT8_ACTS=1 (serving experiment, docs/ROADMAP.md): flag off
+    is the default path bitwise; flag on stays finite and close (per-tensor
+    int8 quantization noise at block boundaries)."""
+    import jax
+    import jax.numpy as jnp
+    from comfyui_keep_tpu.models.vqgan import (encoder_plan, blocks_init,
+                                               blocks_apply)
+    plan = encoder_plan(3, 64, 32, (1, 2), 2, 64, (16,))
+    params = blocks_init(jax.random.PRNGKey(0), plan)
+    x = jax.random.normal(jax.random.PRNGKey(1), (2, 64, 64, 3))
+    base = np.asarray(blocks_apply(params, plan, x))
+    monkeypatch.setenv("KEEP_TPU_INT8_ACTS", "1")
+    q = np.asarray(blocks_apply(params, plan, x))
+    monkeypatch.delenv("KEEP_TPU_INT8_ACTS")
+    again = np.asarray(blocks_apply(params, plan, x))
+    np.testing.assert_array_equal(base, again)
+    assert np.isfinite(q).all()
+    rel = np.linalg.norm(q - base) / np.linalg.norm(base)
+    assert 0 < rel < 0.2, rel
