@@ -828,6 +828,30 @@ def torch_available():
         return False
 
 
+def synth_shared_ckpt(path, variant, cfg_overrides):
+    """Write a SHARED random-weight .pth both sides load. Without this, a
+    reference comparison with no --keep-ckpt silently compares two
+    DIFFERENT random networks (ours: seeded JAX init; theirs: torch's own
+    init) — every PSNR is then meaningless (symptom: index_agreement == 0).
+    Mirrors tests/test_parity_report._write_ckpt at full size: reference
+    KEEP state dict + embedded GMFlow under flownet.model.* , params_ema
+    key (keep_model_loader.py:105-120 load semantics)."""
+    import torch
+    from tests import reference_oracle as oracle
+    from comfyui_keep_tpu.models.keep import KEEP
+    cfg = dict(KEEP.config(variant))
+    if cfg_overrides:
+        cfg.update(cfg_overrides)
+    # flow_stub=False up front: ReferenceSide needs the real FlowGenerator
+    # in this process anyway (the zero-flow stub is process-global), and the
+    # state dict then embeds flownet.model.* like the real composite ckpt
+    ref = oracle.load_ref_keep(flow_stub=False)
+    torch.manual_seed(0)
+    net = ref.KEEP(**ReferenceSide._ref_kwargs(cfg)).eval()
+    torch.save({"params_ema": dict(net.state_dict())}, path)
+    return path
+
+
 def main(argv=None):
     p = argparse.ArgumentParser(description=__doc__)
     p.add_argument("--keep-ckpt", default=None,
@@ -886,6 +910,17 @@ def main(argv=None):
     cfg_overrides = json.loads(args.cfg_json) if args.cfg_json else None
     rng = np.random.default_rng(args.seed)
 
+    synthesized = False
+    if (args.keep_ckpt is None and not args.no_reference
+            and torch_available() and os.path.isdir(REF_ROOT)):
+        import tempfile
+        path = os.path.join(tempfile.mkdtemp(prefix="keep_parity_"),
+                            "shared_random.pth")
+        print("no --keep-ckpt: synthesizing a SHARED random checkpoint "
+              f"({path}) so both frameworks run the same weights")
+        args.keep_ckpt = synth_shared_ckpt(path, args.variant, cfg_overrides)
+        synthesized = True
+
     pack = build_ours(args, cfg_overrides)
     has_flownet = pack.gmflow_params is not None
 
@@ -901,7 +936,8 @@ def main(argv=None):
         ref = ReferenceSide(args, pack.keep_cfg, has_flownet)
 
     report = {
-        "keep_ckpt": args.keep_ckpt,
+        "keep_ckpt": ("synthesized-shared-random(seed0)" if synthesized
+                      else args.keep_ckpt),
         "variant": args.variant,
         "backend": args.backend,
         "matmul_precision": args.matmul_precision or "default",
