@@ -88,10 +88,16 @@ def main(argv=None):
     p = argparse.ArgumentParser(description=__doc__)
     p.add_argument("--frames", type=int, default=20)
     p.add_argument("--out", default="bf16_fidelity.json")
+    p.add_argument("--int8-acts", action="store_true",
+                   help="measure the KEEP_TPU_INT8_ACTS=1 serving path "
+                        "(int8 activation storage at conv-block boundaries, "
+                        "bf16 compute) instead of plain bf16")
     args = p.parse_args(argv)
 
     import jax
     out_f32, idx_f32 = run("f32", args.frames, "highest")
+    if args.int8_acts:
+        os.environ["KEEP_TPU_INT8_ACTS"] = "1"
     out_bf16, idx_bf16 = run("bf16", args.frames, None)
     # teacher-forced bf16 run: same discrete trajectory as the f32 run;
     # its natural picks give per-step agreement given the f32 state
@@ -99,8 +105,9 @@ def main(argv=None):
                                  force_idx=idx_f32)
 
     a8, b8, c8 = to_u8(out_bf16), to_u8(out_f32), to_u8(out_forced)
+    serving = "bf16+int8-acts" if args.int8_acts else "bf16"
     report = {
-        "metric": "PSNR(bf16 serving output vs f32+highest output), dB",
+        "metric": f"PSNR({serving} serving output vs f32+highest output), dB",
         "frames": args.frames,
         "backend": jax.default_backend(),
         "psnr_db": round(psnr_u8(a8, b8), 2),
