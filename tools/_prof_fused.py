@@ -21,6 +21,8 @@ def main():
     ap = argparse.ArgumentParser()
     ap.add_argument("--frames", type=int, default=20)
     ap.add_argument("--iters", type=int, default=6)
+    ap.add_argument("--batch", type=int, default=1,
+                    help="clip-batch B (chunks served together)")
     args = ap.parse_args()
 
     import jax
@@ -36,7 +38,7 @@ def main():
         params = KEEP.prepare_phase512(params, **cfg)
     gm = jax.jit(GMFlow.init)(jax.random.PRNGKey(2))
     gm = jax.tree.map(lambda a: a.astype(dtype), gm)
-    b, t = 1, args.frames
+    b, t = args.batch, args.frames
     x = (jax.random.normal(jax.random.PRNGKey(1), (b, t, 512, 512, 3))
          * 0.3).astype(dtype)
 

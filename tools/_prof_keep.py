@@ -25,6 +25,10 @@ def main():
     ap.add_argument("--frames", type=int, default=20)
     ap.add_argument("--iters", type=int, default=5)
     ap.add_argument("--f32", action="store_true")
+    ap.add_argument("--batch", type=int, default=1)
+    ap.add_argument("--modes", default=None,
+                    help="comma list of profile modes to time "
+                         "(default: full sweep; 'full' = no ablation)")
     args = ap.parse_args()
 
     import jax
@@ -39,7 +43,7 @@ def main():
     params = jax.tree.map(lambda a: a.astype(dtype), params)
     if os.environ.get("KEEP_TPU_NO_PHASE512") != "1":
         params = KEEP.prepare_phase512(params, **cfg)
-    b, t = 1, args.frames
+    b, t = args.batch, args.frames
     x = (jax.random.normal(jax.random.PRNGKey(1), (b, t, 512, 512, 3))
          * 0.3).astype(dtype)
     flows = (jax.random.normal(jax.random.PRNGKey(3), (b, t - 1, 512, 512, 2))
@@ -57,7 +61,11 @@ def main():
         fetch(out)
         return (time.perf_counter() - s) / args.iters * 1000
 
-    for mode in (None, "no_hq", "no_transformer", "no_generator", "no_scan"):
+    modes = (None, "no_hq", "no_transformer", "no_generator", "no_scan")
+    if args.modes:
+        modes = tuple(None if m == "full" else m
+                      for m in args.modes.split(","))
+    for mode in modes:
         fn = jax.jit(lambda p, z, f, m=mode: KEEP.apply(
             p, z, flows=f, remat=False, scan_unroll=2, profile_mode=m, **cfg))
         ms = timeit(fn, params, x, flows)
