@@ -6,21 +6,33 @@ Config 3 of BASELINE.md: a 20-frame clip through the full KEEP network
 stdout. Baseline target: 60 faces/sec (driver BASELINE.json; the reference
 publishes no numbers — keep_arch.py:1194-1204 is a harness only).
 
+Robustness: the measurement runs in a supervised subprocess with a bounded
+per-attempt timeout and up to KEEP_TPU_BENCH_ATTEMPTS retries, because the
+tunnel TPU backend can be transiently down — and when it is, the FIRST jax
+op in the process either raises (BENCH_r03: rc=1) or hangs indefinitely.
+On terminal failure this script still exits printing ONE parseable JSON
+line with an "error" field instead of a traceback.
+
 Env knobs:
   KEEP_TPU_BENCH_DTYPE=f32     f32 compute instead of bfloat16
   KEEP_TPU_BENCH_VERBOSE=1     per-clip latency + config details on stderr
   KEEP_TPU_NO_PHASE512=1       disable phase-packed conv stacks
   KEEP_TPU_PHASE_LEVELS / KEEP_TPU_PHASE_ENC_LEVELS  packing depth
+  KEEP_TPU_BENCH_ATTEMPTS / KEEP_TPU_BENCH_TIMEOUT   retry policy
 """
 import json
 import os
+import subprocess
 import sys
 import time
 
 import numpy as np
 
+_CHILD_ENV = "_KEEP_TPU_BENCH_CHILD"
+_METRIC = "restored 512x512 faces/sec/chip (20-frame clip, KEEP full fwd)"
 
-def main():
+
+def _measure():
     import jax
     import jax.numpy as jnp
     from comfyui_keep_tpu.models.keep import KEEP
@@ -78,10 +90,55 @@ def main():
             "backend": jax.default_backend(),
         }), file=sys.stderr)
     print(json.dumps({
-        "metric": "restored 512x512 faces/sec/chip (20-frame clip, KEEP full fwd)",
+        "metric": _METRIC,
         "value": round(faces_per_sec, 3),
         "unit": "faces/sec",
         "vs_baseline": round(faces_per_sec / 60.0, 4),
+    }))
+
+
+def main():
+    """Supervise _measure() in a subprocess: bounded per-attempt timeout
+    (a dead tunnel hangs the first jax op forever), bounded retries (a
+    flaky tunnel recovers), ONE structured JSON line no matter what."""
+    if os.environ.get(_CHILD_ENV) == "1":
+        _measure()
+        return
+    attempts = max(1, int(os.environ.get("KEEP_TPU_BENCH_ATTEMPTS", "3")))
+    per_timeout = float(os.environ.get("KEEP_TPU_BENCH_TIMEOUT", "480"))
+    env = dict(os.environ)
+    env[_CHILD_ENV] = "1"
+    last_err = ""
+    for attempt in range(1, attempts + 1):
+        try:
+            proc = subprocess.run(
+                [sys.executable, os.path.abspath(__file__)], env=env,
+                capture_output=True, text=True, timeout=per_timeout,
+                cwd=os.path.dirname(os.path.abspath(__file__)))
+        except subprocess.TimeoutExpired as e:
+            tail = e.stderr or b""
+            if isinstance(tail, bytes):
+                tail = tail.decode("utf-8", "replace")
+            last_err = (f"attempt {attempt}: timed out after {per_timeout:.0f}s "
+                        f"(backend init hang?); stderr tail: {tail[-500:]}")
+        else:
+            if proc.returncode == 0 and proc.stdout.strip():
+                sys.stderr.write(proc.stderr)
+                # forward exactly the child's final JSON line
+                print(proc.stdout.strip().splitlines()[-1])
+                return
+            last_err = (f"attempt {attempt}: rc={proc.returncode}; "
+                        f"stderr tail: {proc.stderr[-800:]}")
+        print(f"bench attempt {attempt}/{attempts} failed", file=sys.stderr)
+        if attempt < attempts:
+            time.sleep(5)
+    print(json.dumps({
+        "metric": _METRIC,
+        "value": 0.0,
+        "unit": "faces/sec",
+        "vs_baseline": 0.0,
+        "error": last_err[-1500:],
+        "backend": "axon TPU tunnel (see error)",
     }))
 
 

@@ -344,7 +344,9 @@ def _packed_encoder_prefix(params, plan, x, end: int, taps, tap_indices,
     parity = 0
     for i in range(end + 1):
         spec, p = plan[i], params["blocks"][i]
-        if q and i > 0:
+        if q and i > 0 and spec[0] != "norm":
+            # same insertion rule as blocks_apply / packed_generator_tail:
+            # never quantize a pre-GroupNorm activation
             x = _quant_boundary(x)
         if spec[0] == "conv":
             x = pp.packed_conv(x, p["p512"]["w"], p["p512"]["b"], parity)

@@ -11,6 +11,7 @@ into max_clip_length chunks and the recurrent state RESETS per chunk
 output taken (:266-268). Carried-state mode across chunks is a documented
 extension (carry_state=True), not the parity default.
 """
+import os
 from typing import Callable, Dict, List, Optional
 
 import numpy as np
@@ -168,18 +169,29 @@ class KEEPFaceProcessor:
         outs: List[np.ndarray] = []
         carry = None
         if not carry_chunks and n >= 2 * max_clip_length:
-            # batched serving: all full-length chunks in ONE program
+            # batched serving: full-length chunks in ONE program per group
             # (lax.map of B=1 bodies — bit-identical to the sequential
-            # loop below), ragged tail handled by the loop
+            # loop below). Dispatches are capped at `group` chunks so
+            # device memory stays bounded on arbitrarily long streams
+            # (in+out alone is ~6 MB/frame at 512x512 f32) and the jit
+            # cache holds at most a handful of (t, group) programs instead
+            # of one per distinct stream length. Ragged tail (and any
+            # sub-group remainder of full chunks) handled by the loop.
+            cap = max(2, int(os.environ.get(
+                "KEEP_TPU_CHUNKS_PER_DISPATCH", "8")))
             n_full = n // max_clip_length
-            head = n_full * max_clip_length
-            xc = jnp.asarray(
-                x_all[:head].reshape(n_full, max_clip_length,
-                                     *x_all.shape[1:]), self.dtype)
-            out = self._restore_mapped_fn(max_clip_length, n_full)(
-                self.keep_params, self.gmflow_params, xc)
-            out = np.asarray(out, np.float32).reshape(head, *x_all.shape[1:])
-            outs.extend(rgb_pm1_to_bgr_u8(o) for o in out)
+            group = min(cap, n_full)
+            n_groups = n_full // group
+            head = n_groups * group * max_clip_length
+            xc = x_all[:head].reshape(n_groups, group, max_clip_length,
+                                      *x_all.shape[1:])
+            mapped = self._restore_mapped_fn(max_clip_length, group)
+            for gi in range(n_groups):
+                out = mapped(self.keep_params, self.gmflow_params,
+                             jnp.asarray(xc[gi], self.dtype))
+                out = np.asarray(out, np.float32)
+                out = out.reshape(group * max_clip_length, *out.shape[2:])
+                outs.extend(rgb_pm1_to_bgr_u8(o) for o in out)
             if head == n:
                 return outs
             x_all = x_all[head:]

@@ -35,9 +35,34 @@ class LmdbBackend:
             return txn.get(str(filepath).encode("ascii"))
 
 
-class MemcachedBackend:  # pragma: no cover
+class MemcachedBackend:
+    """Memcached storage backend (reference file_client.py:22-56): reads a
+    value buffer through the `mc` client. The `mc` package is cluster
+    infrastructure that cannot be vendored; the import is guarded so
+    construction raises a clear ImportError where it is absent."""
+
     def __init__(self, server_list_cfg, client_cfg, sys_path=None):
-        raise NotImplementedError("memcached is not available in this build")
+        if sys_path is not None:
+            import sys
+            sys.path.append(sys_path)
+        try:
+            import mc
+        except ImportError as e:  # pragma: no cover
+            raise ImportError(
+                "memcached backend requires the `mc` package") from e
+        self.server_list_cfg = server_list_cfg
+        self.client_cfg = client_cfg
+        self._client = mc.MemcachedClient.GetInstance(server_list_cfg,
+                                                      client_cfg)
+        self._mc_buffer = mc.pyvector()
+
+    def get(self, filepath):  # pragma: no cover - needs a live cluster
+        import mc
+        self._client.Get(str(filepath), self._mc_buffer)
+        return mc.ConvertBuffer(self._mc_buffer)
+
+    def get_text(self, filepath):
+        raise NotImplementedError("memcached stores binary buffers only")
 
 
 class FileClient:

@@ -300,3 +300,178 @@ def load_ref_keep(flow_stub=True):
     load_ref_arch_util()
     return _module_from_file("wm_basicsr.archs.keep_arch",
                              f"{REF_ROOT}/archs/keep_arch.py")
+
+
+FACELIB_ROOT = "/root/reference/modules/deps/wm_facelib"
+
+
+def install_ref_retinaface():
+    """Load the reference RetinaFace (wm_facelib/detection/retinaface/
+    retinaface.py) with a faithful mini-torchvision: IntermediateLayerGetter
+    and ops.nms reimplemented in pure torch (torchvision is absent from the
+    image). Shared by the facelib golden tests and the parity harness —
+    this is the REAL reference detector code path (retinaface.py:208-252),
+    not a behavioral stub. Returns the loaded module; idempotent."""
+    if "ref_retinaface_full" in sys.modules:
+        return sys.modules["ref_retinaface_full"]
+    import torch
+
+    class _ILG(torch.nn.ModuleDict):
+        """Faithful mini torchvision IntermediateLayerGetter."""
+
+        def __init__(self, model, return_layers):
+            remaining = dict(return_layers)
+            layers = {}
+            for name, module in model.named_children():
+                layers[name] = module
+                remaining.pop(name, None)
+                if not remaining:
+                    break
+            super().__init__(layers)
+            self.return_layers = dict(return_layers)
+
+        def forward(self, x):
+            out = {}
+            for name, module in self.items():
+                x = module(x)
+                if name in self.return_layers:
+                    out[self.return_layers[name]] = x
+            return out
+
+    def _tv_nms(boxes, scores, iou_threshold):
+        """torchvision.ops.nms oracle (pure torch)."""
+        order = scores.argsort(descending=True)
+        keep = []
+        while order.numel() > 0:
+            i = order[0]
+            keep.append(i.item())
+            if order.numel() == 1:
+                break
+            rest = order[1:]
+            xx1 = torch.maximum(boxes[i, 0], boxes[rest, 0])
+            yy1 = torch.maximum(boxes[i, 1], boxes[rest, 1])
+            xx2 = torch.minimum(boxes[i, 2], boxes[rest, 2])
+            yy2 = torch.minimum(boxes[i, 3], boxes[rest, 3])
+            inter = (xx2 - xx1).clamp(min=0) * (yy2 - yy1).clamp(min=0)
+            a_i = (boxes[i, 2] - boxes[i, 0]) * (boxes[i, 3] - boxes[i, 1])
+            a_r = ((boxes[rest, 2] - boxes[rest, 0])
+                   * (boxes[rest, 3] - boxes[rest, 1]))
+            iou = inter / (a_i + a_r - inter)
+            order = rest[iou <= iou_threshold]
+        return torch.tensor(keep, dtype=torch.long)
+
+    _install_stubs_arch_util()  # torchvision (+ops) stub
+    _tv_resnet50 = _make_tv_resnet50_factory()
+    for name in ("torchvision.models", "torchvision.models._utils",
+                 "comfy", "comfy.model_management",
+                 "wm_facelib", "wm_facelib.detection",
+                 "wm_facelib.detection.retinaface"):
+        if name not in sys.modules:
+            mod = types.ModuleType(name)
+            mod.__path__ = []
+            sys.modules[name] = mod
+    sys.modules["torchvision"].ops.nms = _tv_nms
+    sys.modules["torchvision"].models = sys.modules["torchvision.models"]
+    sys.modules["torchvision.models"].resnet50 = _tv_resnet50
+    sys.modules["torchvision.models._utils"].IntermediateLayerGetter = _ILG
+    if not hasattr(sys.modules["comfy.model_management"], "get_torch_device"):
+        sys.modules["comfy.model_management"].get_torch_device = lambda: "cpu"
+    for sub in ("matlab_cp2tform", "align_trans"):
+        _module_from_file(f"wm_facelib.detection.{sub}",
+                          f"{FACELIB_ROOT}/detection/{sub}.py")
+    for sub in ("retinaface_net", "retinaface_utils"):
+        _module_from_file(f"wm_facelib.detection.retinaface.{sub}",
+                          f"{FACELIB_ROOT}/detection/retinaface/{sub}.py")
+    return _module_from_file("ref_retinaface_full",
+                             f"{FACELIB_ROOT}/detection/retinaface/retinaface.py")
+
+
+def _make_tv_resnet50_factory():
+    """Faithful mini torchvision ``models.resnet50`` (Bottleneck v1.5: stride
+    on conv2) with torchvision-exact child order and state-dict names, so the
+    reference RetinaFace ResNet50 path (retinaface.py:99-102 +
+    IntermediateLayerGetter over layer2/3/4) runs without torchvision."""
+    import torch
+    from torch import nn
+
+    class Bottleneck(nn.Module):
+        expansion = 4
+
+        def __init__(self, inplanes, planes, stride=1, downsample=None):
+            super().__init__()
+            self.conv1 = nn.Conv2d(inplanes, planes, 1, bias=False)
+            self.bn1 = nn.BatchNorm2d(planes)
+            self.conv2 = nn.Conv2d(planes, planes, 3, stride=stride,
+                                   padding=1, bias=False)
+            self.bn2 = nn.BatchNorm2d(planes)
+            self.conv3 = nn.Conv2d(planes, planes * 4, 1, bias=False)
+            self.bn3 = nn.BatchNorm2d(planes * 4)
+            self.relu = nn.ReLU(inplace=True)
+            self.downsample = downsample
+            self.stride = stride
+
+        def forward(self, x):
+            identity = x
+            out = self.relu(self.bn1(self.conv1(x)))
+            out = self.relu(self.bn2(self.conv2(out)))
+            out = self.bn3(self.conv3(out))
+            if self.downsample is not None:
+                identity = self.downsample(x)
+            return self.relu(out + identity)
+
+    class ResNet50(nn.Module):
+        def __init__(self):
+            super().__init__()
+            self.inplanes = 64
+            self.conv1 = nn.Conv2d(3, 64, 7, stride=2, padding=3, bias=False)
+            self.bn1 = nn.BatchNorm2d(64)
+            self.relu = nn.ReLU(inplace=True)
+            self.maxpool = nn.MaxPool2d(3, stride=2, padding=1)
+            self.layer1 = self._make_layer(64, 3)
+            self.layer2 = self._make_layer(128, 4, stride=2)
+            self.layer3 = self._make_layer(256, 6, stride=2)
+            self.layer4 = self._make_layer(512, 3, stride=2)
+            self.avgpool = nn.AdaptiveAvgPool2d((1, 1))
+            self.fc = nn.Linear(512 * 4, 1000)
+
+        def _make_layer(self, planes, blocks, stride=1):
+            downsample = None
+            if stride != 1 or self.inplanes != planes * 4:
+                downsample = nn.Sequential(
+                    nn.Conv2d(self.inplanes, planes * 4, 1, stride=stride,
+                              bias=False),
+                    nn.BatchNorm2d(planes * 4))
+            layers = [Bottleneck(self.inplanes, planes, stride, downsample)]
+            self.inplanes = planes * 4
+            layers += [Bottleneck(self.inplanes, planes)
+                       for _ in range(1, blocks)]
+            return nn.Sequential(*layers)
+
+        def forward(self, x):
+            x = self.maxpool(self.relu(self.bn1(self.conv1(x))))
+            x = self.layer4(self.layer3(self.layer2(self.layer1(x))))
+            x = torch.flatten(self.avgpool(x), 1)
+            return self.fc(x)
+
+    def resnet50(weights=None, **kw):
+        assert weights is None
+        return ResNet50()
+
+    return resnet50
+
+
+def randomize_bn_stats(net, seed=11):
+    """Random-init BatchNorm running stats/affines: at plain random init,
+    eval-mode BNs (zero mean / unit var) collapse pyramid levels to constant
+    features and every prior scores identically — threshold/NMS ordering is
+    then undefined. Shared recipe for synthetic detector checkpoints."""
+    import torch
+    g = torch.Generator().manual_seed(seed)
+    with torch.no_grad():
+        for m in net.modules():
+            if isinstance(m, torch.nn.BatchNorm2d):
+                m.running_mean.normal_(0.0, 0.05, generator=g)
+                m.running_var.uniform_(0.8, 1.2, generator=g)
+                m.weight.normal_(1.0, 0.2, generator=g)
+                m.bias.normal_(0.0, 0.1, generator=g)
+    return net

@@ -180,108 +180,29 @@ class TestDetectFacesComposed:
 
     @pytest.fixture(scope="class")
     def ref_retinaface_mod(self):
-        import sys
-        import types
+        # shared installer (mini-torchvision ILG/nms oracles) — also used by
+        # tools/parity_report.py's real-detector certification path
+        return oracle.install_ref_retinaface()
 
-        class _ILG(torch.nn.ModuleDict):
-            """Faithful mini torchvision IntermediateLayerGetter."""
-
-            def __init__(self, model, return_layers):
-                remaining = dict(return_layers)
-                layers = {}
-                for name, module in model.named_children():
-                    layers[name] = module
-                    remaining.pop(name, None)
-                    if not remaining:
-                        break
-                super().__init__(layers)
-                self.return_layers = dict(return_layers)
-
-            def forward(self, x):
-                out = {}
-                for name, module in self.items():
-                    x = module(x)
-                    if name in self.return_layers:
-                        out[self.return_layers[name]] = x
-                return out
-
-        def _tv_nms(boxes, scores, iou_threshold):
-            """torchvision.ops.nms oracle (pure torch)."""
-            order = scores.argsort(descending=True)
-            keep = []
-            while order.numel() > 0:
-                i = order[0]
-                keep.append(i.item())
-                if order.numel() == 1:
-                    break
-                rest = order[1:]
-                xx1 = torch.maximum(boxes[i, 0], boxes[rest, 0])
-                yy1 = torch.maximum(boxes[i, 1], boxes[rest, 1])
-                xx2 = torch.minimum(boxes[i, 2], boxes[rest, 2])
-                yy2 = torch.minimum(boxes[i, 3], boxes[rest, 3])
-                inter = (xx2 - xx1).clamp(min=0) * (yy2 - yy1).clamp(min=0)
-                a_i = (boxes[i, 2] - boxes[i, 0]) * (boxes[i, 3] - boxes[i, 1])
-                a_r = ((boxes[rest, 2] - boxes[rest, 0])
-                       * (boxes[rest, 3] - boxes[rest, 1]))
-                iou = inter / (a_i + a_r - inter)
-                order = rest[iou <= iou_threshold]
-            return torch.tensor(keep, dtype=torch.long)
-
-        oracle._install_stubs_arch_util()  # torchvision (+ops) stub
-        stubs = {}
-        for name in ("torchvision.models", "torchvision.models._utils",
-                     "comfy", "comfy.model_management",
-                     "wm_facelib", "wm_facelib.detection",
-                     "wm_facelib.detection.retinaface"):
-            if name not in sys.modules:
-                mod = types.ModuleType(name)
-                mod.__path__ = []
-                sys.modules[name] = mod
-                stubs[name] = mod
-        sys.modules["torchvision"].ops.nms = _tv_nms
-        sys.modules["torchvision.models._utils"].IntermediateLayerGetter = _ILG
-        if not hasattr(sys.modules["comfy.model_management"], "get_torch_device"):
-            sys.modules["comfy.model_management"].get_torch_device = lambda: "cpu"
-        sys.modules["wm_facelib.detection.matlab_cp2tform"] = _load(
-            "wm_facelib.detection.matlab_cp2tform",
-            f"{FACELIB}/detection/matlab_cp2tform.py")
-        sys.modules["wm_facelib.detection.align_trans"] = _load(
-            "wm_facelib.detection.align_trans", f"{FACELIB}/detection/align_trans.py")
-        sys.modules["wm_facelib.detection.retinaface.retinaface_net"] = _load(
-            "wm_facelib.detection.retinaface.retinaface_net",
-            f"{FACELIB}/detection/retinaface/retinaface_net.py")
-        sys.modules["wm_facelib.detection.retinaface.retinaface_utils"] = _load(
-            "wm_facelib.detection.retinaface.retinaface_utils",
-            f"{FACELIB}/detection/retinaface/retinaface_utils.py")
-        mod = _load("ref_retinaface_full",
-                    f"{FACELIB}/detection/retinaface/retinaface.py")
-        yield mod
-        for name in stubs:
-            sys.modules.pop(name, None)
-
-    def test_detect_faces_value_parity(self, ref_retinaface_mod, rng):
+    @pytest.mark.parametrize("network", [
+        "mobile0.25",
+        pytest.param("resnet50", marks=pytest.mark.slow),
+    ])
+    def test_detect_faces_value_parity(self, ref_retinaface_mod, rng, network):
         from comfyui_keep_tpu.models.retinaface import make_detector_fn
         from comfyui_keep_tpu.utils.checkpoint import convert_state_dict
         torch.manual_seed(7)
-        net = ref_retinaface_mod.RetinaFace(network_name="mobile0.25",
+        net = ref_retinaface_mod.RetinaFace(network_name=network,
                                             half=False).eval()
-        # at random init, eval-mode BatchNorms (zero mean / unit var running
-        # stats) collapse whole pyramid levels to constant features — every
-        # prior at that level then scores IDENTICALLY, and threshold/NMS
-        # ordering is undefined. Randomize the BN stats so the net stays
-        # alive and scores spread (49 unique values in the top 60).
-        g = torch.Generator().manual_seed(11)
-        with torch.no_grad():
-            for m in net.modules():
-                if isinstance(m, torch.nn.BatchNorm2d):
-                    m.running_mean.normal_(0.0, 0.05, generator=g)
-                    m.running_var.uniform_(0.8, 1.2, generator=g)
-                    m.weight.normal_(1.0, 0.2, generator=g)
-                    m.bias.normal_(0.0, 0.1, generator=g)
+        # at random init, eval-mode BatchNorms collapse whole pyramid levels
+        # to constant features and every prior scores IDENTICALLY —
+        # threshold/NMS ordering is then undefined; randomize the stats
+        # (49 unique values in the top 60 after this)
+        oracle.randomize_bn_stats(net, seed=11)
         sd = {k: v.detach().numpy() for k, v in net.state_dict().items()
               if not k.startswith("body.fc")}
         params = convert_state_dict(sd)
-        det = make_detector_fn(params, network="mobile0.25", jit=False)
+        det = make_detector_fn(params, network=network, jit=False)
 
         # structured synthetic image (gradients + blobs, not pure noise)
         yy, xx = np.mgrid[0:256, 0:320].astype(np.float32)
