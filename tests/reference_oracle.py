@@ -133,12 +133,17 @@ def _install_stubs_arch_util():
     import torch
     from torch import nn
 
-    if "torchvision" not in sys.modules:
+    # tolerate a pre-existing partial stub (tools/parity_report.py registers
+    # a bare torchvision for transforms.functional.normalize)
+    tv = sys.modules.get("torchvision")
+    if tv is None:
         tv = types.ModuleType("torchvision")
+        sys.modules["torchvision"] = tv
+    if not hasattr(tv, "__version__"):
         tv.__version__ = "0.20.0"
+    if not hasattr(tv, "ops"):
         tv.ops = types.ModuleType("torchvision.ops")
         tv.ops.deform_conv2d = _torch_deform_conv2d
-        sys.modules["torchvision"] = tv
         sys.modules["torchvision.ops"] = tv.ops
 
     if "wm_basicsr.ops.dcn" not in sys.modules:

@@ -103,6 +103,49 @@ def test_zip_ckpt_configs_1_3(tmp_path):
     assert report["all_pass"] is True
 
 
+@pytest.mark.slow
+def test_full_zoo_drill(tmp_path):
+    """The real-weights readiness drill: synthesize ALL FIVE zoo files in
+    exact reference serialization (tools/synth_zoo.py), then certify with
+    one command (--zoo-dir) — REAL RetinaFace + ParseNet + RRDBNet forwards
+    on BOTH sides (no stubs). The day real checkpoints are reachable this
+    exact invocation certifies them with zero code changes."""
+    zoo = str(tmp_path / "zoo")
+    env = dict(os.environ)
+    env["JAX_PLATFORMS"] = "cpu"
+    proc = subprocess.run(
+        [sys.executable, os.path.join(REPO, "tools", "synth_zoo.py"),
+         "--out-dir", zoo, "--cfg-json", json.dumps(TINY64),
+         "--rrdb-blocks", "1"],
+        capture_output=True, text=True, cwd=REPO, env=env, timeout=1500)
+    assert proc.returncode == 0, f"synth_zoo failed:\n{proc.stdout}\n{proc.stderr}"
+    for sub, fname in (("keep_models/KEEP", "KEEP-b76feb75.pth"),
+                       ("facedetection", "detection_Resnet50_Final.pth"),
+                       ("facedetection", "parsing_parsenet.pth"),
+                       ("upscale_models", "RealESRGAN_x2_bg.pth"),
+                       ("upscale_models", "RealESRGAN_x2_face.pth")):
+        assert os.path.exists(os.path.join(zoo, sub, fname)), fname
+
+    out = str(tmp_path / "report.json")
+    proc = subprocess.run(
+        [sys.executable, TOOL, "--zoo-dir", zoo, "--out", out,
+         "--configs", "2,4,5", "--cfg-json", json.dumps(TINY64),
+         "--frames", "2", "--clip", "4"],
+        capture_output=True, text=True, cwd=REPO, env=env, timeout=1500)
+    assert proc.returncode == 0, f"stdout:\n{proc.stdout}\nstderr:\n{proc.stderr}"
+    with open(out) as f:
+        report = json.load(f)
+    assert report["detector"].startswith("RetinaFace-ResNet50"), report["detector"]
+    assert report["parser"].startswith("ParseNet"), report["parser"]
+    assert report["upscalers"].startswith("RRDBNet"), report["upscalers"]
+    for c in ("2", "4", "5"):
+        r = report["configs"][c]
+        assert r.get("error") is None, r
+        assert r["psnr_db"] >= 40.0, r
+        assert r["pass"] is True, r
+    assert report["all_pass"] is True
+
+
 def test_legacy_ckpt_configs_2_4_5(tmp_path):
     """legacy-format .pth under the 'params' key (no EMA, no flownet) ->
     unaligned detect/track/paste + upscaler-compositing configs."""

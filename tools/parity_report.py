@@ -191,6 +191,7 @@ class ReferenceSide:
             f"{REF_ROOT}/modules/deps/wm_facelib/utils/face_restoration_helper.py")
         self.kp = self._load_keep_processor()
         self.ref_parsenet = self._load_parsenet(args)
+        self.ref_detector = self._load_retinaface(args)
 
     @staticmethod
     def _ref_kwargs(cfg):
@@ -357,6 +358,24 @@ class ReferenceSide:
         net.load_state_dict(sd, strict=True)
         return net
 
+    def _load_retinaface(self, args):
+        """The reference's OWN RetinaFace (retinaface.py:208-252) via the
+        oracle's mini-torchvision, loaded from the checkpoint with the
+        'module.' prefix strip of detection/__init__.py:82-85."""
+        if not args.retinaface_ckpt:
+            return None
+        torch = self.torch
+        mod = self.oracle.install_ref_retinaface()
+        net = mod.RetinaFace(network_name="resnet50", half=False).eval()
+        from comfyui_keep_tpu.utils.checkpoint import read_pth
+        sd = {}
+        for k, v in read_pth(args.retinaface_ckpt).items():
+            if k.startswith("module."):
+                k = k[len("module."):]
+            sd[k] = torch.tensor(np.asarray(v))
+        net.load_state_dict(sd, strict=True)
+        return net
+
     # -- runners ------------------------------------------------------------
 
     def make_helper(self, face_size, upscale_factor, detector_rows, use_parse,
@@ -369,6 +388,9 @@ class ReferenceSide:
             # numpy rows: get_face_landmarks_5 does numpy math on the result
             # (face_restoration_helper.py:221-240)
             h.face_detector = types.SimpleNamespace(detect_faces=det_fn)
+        elif self.ref_detector is not None:
+            # real reference detector forward on the torch side
+            h.face_detector = self.ref_detector
         if use_parse:
             if self.ref_parsenet is not None:
                 h.face_parse = self.ref_parsenet
@@ -606,6 +628,68 @@ def make_ref_upscaler_model():
     return types.SimpleNamespace(model=model, scale=2)
 
 
+def _rrdb_scale_from_tree(tree):
+    """Overall net scale from conv_first input channels (the scale-1/2
+    variants pixel-unshuffle the input: rrdbnet_arch.py:107-122)."""
+    cin = int(np.asarray(tree["conv_first"]["w"]).shape[2])
+    return {3: 4, 12: 2, 48: 1}[cin]
+
+
+def make_our_real_upscaler(ckpt, tile=512, overlap=64):
+    """Real RRDBNet from a RealESRGAN-layout .pth, applied through OUR
+    comfy-faithful tiled path — u8 BGR -> u8 BGR, the pack.bg_upscaler /
+    face_upscaler plug-in interface (keep_processor.py:126-132 semantics:
+    [0,1] clamp then u8)."""
+    import jax
+    import jax.numpy as jnp
+    from comfyui_keep_tpu.models.sr_basic import RRDBNet
+    from comfyui_keep_tpu.pipeline.tiled import tiled_scale
+    from comfyui_keep_tpu.utils.checkpoint import read_pth, convert_state_dict
+    tree = convert_state_dict(read_pth(ckpt))
+    scale = _rrdb_scale_from_tree(tree)
+    fwd = jax.jit(lambda x: RRDBNet.apply(tree, x, scale=scale))
+
+    def model_fn(tiles_nhwc):
+        return np.asarray(fwd(jnp.asarray(tiles_nhwc)), np.float32)
+
+    def up(img_bgr_u8):
+        x = img_bgr_u8[..., ::-1].astype(np.float32) / 255.0
+        out = tiled_scale(x, model_fn, scale, tile=tile, overlap=overlap)
+        out = np.clip(out, 0.0, 1.0)
+        return (out[..., ::-1] * 255.0).astype(np.uint8)
+
+    up.scale = scale
+    return up
+
+
+def make_ref_real_upscaler_model(ckpt):
+    """The same checkpoint as a reference-side spandrel-like descriptor:
+    the reference rrdbnet_arch.py net under torch, driven by the
+    reference's own tiled path (keep_processor.py:126-132)."""
+    import torch
+    from tests import reference_oracle as oracle
+    from comfyui_keep_tpu.utils.checkpoint import read_pth
+    oracle.load_ref_arch_util()
+    rr = oracle._module_from_file(
+        "wm_basicsr.archs.rrdbnet_arch",
+        f"{oracle.REF_ROOT}/archs/rrdbnet_arch.py")
+    sd_np = read_pth(ckpt)
+    body_idx = [int(k.split(".")[1]) for k in sd_np if k.startswith("body.")]
+    num_feat = int(sd_np["conv_first.weight"].shape[0])
+    cin = int(sd_np["conv_first.weight"].shape[1])
+    scale = {3: 4, 12: 2, 48: 1}[cin]
+    net = rr.RRDBNet(num_in_ch=3, num_out_ch=3, scale=scale,
+                     num_feat=num_feat, num_block=max(body_idx) + 1).eval()
+    net.load_state_dict({k: torch.tensor(np.asarray(v))
+                         for k, v in sd_np.items()}, strict=True)
+
+    def model(bchw):
+        with torch.no_grad():
+            return net(bchw)
+
+    return types.SimpleNamespace(model=model, scale=scale)
+
+
 # ---------------------------------------------------------------------------
 # configs
 # ---------------------------------------------------------------------------
@@ -690,22 +774,14 @@ def run_config2(args, pack, ref, rng):
         return dict(psnr_db=None, ssim=None,
                     notes="reference unavailable; ours-only run OK",
                     out_shape=list(ours.shape))
-    if rows is None:
-        # real detector: reference side replays OUR detections (its own
-        # RetinaFace needs torchvision, absent here; detection parity is
-        # covered by the detector golden tests)
-        rows = [np.asarray(_real_detector(args)(
-            _read_for_detection(ref, img), 0.97))]
-    theirs = ref.run_image(img, 1.0, False, [r.copy() for r in rows],
-                           use_parse=True)
+    # rows=None -> the reference side runs its OWN RetinaFace forward
+    # (retinaface.py:208-252) on the torch side; detection parity is then
+    # certified end-to-end, not replayed
+    theirs = ref.run_image(
+        img, 1.0, False, None if rows is None else [r.copy() for r in rows],
+        use_parse=True)
     p, s = psnr_ssim(ours, theirs)
     return dict(psnr_db=p, ssim=s)
-
-
-def _read_for_detection(ref, img):
-    helper = ref.make_helper(ref.cfg["img_size"], 1.0, None, False)
-    helper.read_image(img)
-    return helper.input_img
 
 
 def _real_detector(args):
@@ -747,17 +823,24 @@ def run_config4(args, pack, ref, rng):
     frames = _load_input_frames(args, rng, t, int(size * 1.3))
     h, w = _detection_space(frames[0].shape[:2])
     sc = min(h, w) / 512.0
-    rows = []
-    for i in range(t):
-        lm_a = face_landmarks_at(FFHQ_TEMPLATE_512, 0.35 * sc, 0.0,
-                                 w * 0.3 + 2 * i, h * 0.35)
-        lm_b = face_landmarks_at(FFHQ_TEMPLATE_512, 0.3 * sc, -5.0,
-                                 w * 0.7, h * 0.65 + 2 * i)
-        rows.append(np.stack([detection_row(lm_a), detection_row(lm_b)]))
+    if args.retinaface_ckpt:
+        # real multiface detection on both sides: the calibrated synth
+        # detector yields ~7-10 stable detections/frame, all tracked and
+        # batch-restored (only_center_face=False)
+        rows = None
+        detector = _real_detector(args)
+    else:
+        rows = []
+        for i in range(t):
+            lm_a = face_landmarks_at(FFHQ_TEMPLATE_512, 0.35 * sc, 0.0,
+                                     w * 0.3 + 2 * i, h * 0.35)
+            lm_b = face_landmarks_at(FFHQ_TEMPLATE_512, 0.3 * sc, -5.0,
+                                     w * 0.7, h * 0.65 + 2 * i)
+            rows.append(np.stack([detection_row(lm_a), detection_row(lm_b)]))
+        detector = make_list_detector(rows)
     parser = our_parser(args, size)
     pack.face_helper = FaceRestoreHelper(
-        face_size=size, detector=make_list_detector(rows), parser=parser,
-        use_parse=True)
+        face_size=size, detector=detector, parser=parser, use_parse=True)
     ours = pack.processor(args.np_dtype).process_image_sequence(
         frames, final_upscale_factor=1.0, only_center_face=False,
         max_clip_length=args.clip)
@@ -766,8 +849,9 @@ def run_config4(args, pack, ref, rng):
                     notes="reference unavailable; ours-only run OK",
                     frames=len(ours))
     theirs = ref.run_sequence(frames, 1.0, False,
-                              [r.copy() for r in rows], use_parse=True,
-                              max_clip_length=args.clip,
+                              None if rows is None
+                              else [r.copy() for r in rows],
+                              use_parse=True, max_clip_length=args.clip,
                               only_center_face=False)
     p, s = seq_psnr_ssim(ours, theirs)
     return dict(psnr_db=p, ssim=s, frames=len(ours))
@@ -780,13 +864,27 @@ def run_config5(args, pack, ref, rng):
                                                  FFHQ_TEMPLATE_512)
     size = pack.keep_cfg["img_size"]
     img = _load_input_image(args, rng, size)
-    rows = _single_face_rows(FFHQ_TEMPLATE_512, img.shape[:2], 1)
+    if args.retinaface_ckpt:
+        rows = None
+        detector = _real_detector(args)
+    else:
+        rows = _single_face_rows(FFHQ_TEMPLATE_512, img.shape[:2], 1)
+        detector = make_list_detector(rows)
     parser = our_parser(args, size)
     pack.face_helper = FaceRestoreHelper(
-        face_size=size, detector=make_list_detector(rows), parser=parser,
-        use_parse=True)
-    pack.bg_upscaler = make_our_upscaler()
-    pack.face_upscaler = make_our_upscaler()
+        face_size=size, detector=detector, parser=parser, use_parse=True)
+    if args.bg_ckpt:
+        pack.bg_upscaler = make_our_real_upscaler(args.bg_ckpt)
+        bg_model = make_ref_real_upscaler_model(args.bg_ckpt)
+    else:
+        pack.bg_upscaler = make_our_upscaler()
+        bg_model = make_ref_upscaler_model()
+    if args.face_ckpt:
+        pack.face_upscaler = make_our_real_upscaler(args.face_ckpt)
+        face_model = make_ref_real_upscaler_model(args.face_ckpt)
+    else:
+        pack.face_upscaler = make_our_upscaler()
+        face_model = make_ref_upscaler_model()
     try:
         ours = pack.processor(args.np_dtype).process_image(
             img, final_upscale_factor=2.0, has_aligned=False)
@@ -797,10 +895,11 @@ def run_config5(args, pack, ref, rng):
         return dict(psnr_db=None, ssim=None,
                     notes="reference unavailable; ours-only run OK",
                     out_shape=list(ours.shape))
-    theirs = ref.run_image(img, 2.0, False, [r.copy() for r in rows],
-                           use_parse=True,
-                           bg_model=make_ref_upscaler_model(),
-                           face_model=make_ref_upscaler_model())
+    theirs = ref.run_image(img, 2.0, False,
+                           None if rows is None
+                           else [r.copy() for r in rows],
+                           use_parse=True, bg_model=bg_model,
+                           face_model=face_model)
     p, s = psnr_ssim(ours, theirs)
     return dict(psnr_db=p, ssim=s, out_shape=list(ours.shape))
 
@@ -858,6 +957,17 @@ def main(argv=None):
                    help=".pth KEEP checkpoint (random init if omitted)")
     p.add_argument("--parsenet-ckpt", default=None)
     p.add_argument("--retinaface-ckpt", default=None)
+    p.add_argument("--bg-ckpt", default=None,
+                   help="RealESRGAN-layout RRDBNet .pth for the background "
+                        "upscaler (config 5); real net on BOTH sides")
+    p.add_argument("--face-ckpt", default=None,
+                   help="RealESRGAN-layout RRDBNet .pth for the face "
+                        "upscaler (config 5)")
+    p.add_argument("--zoo-dir", default=None,
+                   help="a tools/synth_zoo.py --out-dir (or a real model "
+                        "zoo in the same layout): fills --keep-ckpt, "
+                        "--retinaface-ckpt, --parsenet-ckpt, --bg-ckpt, "
+                        "--face-ckpt from the standard filenames")
     p.add_argument("--variant", default="KEEP", choices=["KEEP", "Asian"])
     p.add_argument("--configs", default="1,2,3,4,5")
     p.add_argument("--frames", type=int, default=20)
@@ -891,6 +1001,18 @@ def main(argv=None):
                         "meet the 40 dB bar on the tpu backend)")
     args = p.parse_args(argv)
     args.np_dtype = None if args.dtype == "float32" else args.dtype
+    if args.zoo_dir:
+        from tools.synth_zoo import ZOO
+        attr = {"keep": "keep_ckpt", "retinaface": "retinaface_ckpt",
+                "parsenet": "parsenet_ckpt"}
+        for fname, (sub, kind) in ZOO.items():
+            path = os.path.join(args.zoo_dir, sub, fname)
+            if not os.path.exists(path):
+                continue
+            name = attr.get(kind) or ("face_ckpt" if "face" in fname
+                                      else "bg_ckpt")
+            if getattr(args, name) is None:
+                setattr(args, name, path)
     # The image's sitecustomize imports jax at interpreter startup with the
     # axon/TPU platform, so JAX_PLATFORMS/JAX_ENABLE_X64 env vars are TOO
     # LATE here; jax.config works until the first backend touch. Parity vs
@@ -945,10 +1067,15 @@ def main(argv=None):
         "reference_run": ref is not None,
         "reference_skip_reason": ref_reason,
         "bar_psnr_db": args.bar,
-        "detector": ("retinaface_resnet50" if args.retinaface_ckpt
+        "detector": ("RetinaFace-ResNet50 (real forwards on BOTH sides)"
+                     if args.retinaface_ckpt
                      else "synthetic-landmark stub (both sides)"),
-        "parser": ("parsenet" if args.parsenet_ckpt
+        "parser": ("ParseNet (real forwards on BOTH sides)"
+                   if args.parsenet_ckpt
                    else "synthetic-mask stub (both sides)"),
+        "upscalers": ("RRDBNet (real nets on BOTH sides)"
+                      if args.bg_ckpt or args.face_ckpt
+                      else "shared deterministic np 2x"),
         "configs": {},
     }
     for c in [int(x) for x in args.configs.split(",") if x.strip()]:

@@ -55,16 +55,59 @@ def synth_keep(path, variant="KEEP", cfg_overrides=None, seed=0):
     return path
 
 
-def synth_retinaface(path, network="resnet50", seed=0):
+def _calibrate_detectable_heads(net, cls_scale=8.0, face_bias=-0.6,
+                                lm_scale=40.0, box_scale=4.0):
+    """Make a random-init RetinaFace actually DETECT at the pipeline's fixed
+    operating point (conf 0.97, eye_dist>=5; face_restoration_helper.py:221,
+    233-235). Plain random heads fail it two ways: scores cluster at ~0.5
+    (softmax of ~N(0, s) logits) so nothing passes 0.97, and decoded
+    landmark scatter is ~1 px so eye_dist filters everything. Scaling the
+    1x1 head convs spreads the outputs; the face-class bias shift places the
+    upper tail of the score distribution just across 0.97. Measured on the
+    parity probe image (resnet50, seed 0): 7-10 detections/frame, the score
+    gap at the 0.97 boundary is 4.6e-4..2.4e-3 (~40x the ~1e-5
+    cross-backend f32 noise, so the threshold never flips a candidate
+    between frameworks), min eye_dist 7.9 px."""
+    import torch
+    with torch.no_grad():
+        for ch in net.ClassHead:
+            ch.conv1x1.weight.mul_(cls_scale)
+            ch.conv1x1.bias.mul_(cls_scale)
+            ch.conv1x1.bias.view(-1, 2)[:, 1].add_(face_bias)
+        for lh in net.LandmarkHead:
+            lh.conv1x1.weight.mul_(lm_scale)
+            lh.conv1x1.bias.mul_(lm_scale)
+        for bh in net.BboxHead:
+            bh.conv1x1.weight.mul_(box_scale)
+            bh.conv1x1.bias.mul_(box_scale)
+    return net
+
+
+def synth_retinaface(path, network="resnet50", seed=0, self_check=True):
     """RetinaFace state dict with 'module.' prefixes (the published
     detection_*_Final.pth files come from DataParallel training; the
-    reference strips the prefix at load, detection/__init__.py:82-85)."""
+    reference strips the prefix at load, detection/__init__.py:82-85).
+    Heads are calibrated so the net produces stable detections at the
+    pipeline's conf-0.97 / eye_dist-5 operating point."""
     import torch
     from tests import reference_oracle as oracle
     mod = oracle.install_ref_retinaface()
     torch.manual_seed(seed)
     net = mod.RetinaFace(network_name=network, half=False).eval()
     oracle.randomize_bn_stats(net, seed=seed + 11)
+    _calibrate_detectable_heads(net)
+    if self_check:
+        from tools.parity_report import synth_image
+        img = synth_image(np.random.default_rng(0), 640, 640)
+        with torch.no_grad():
+            rows = net.detect_faces(img.astype(np.float32),
+                                    conf_threshold=0.97)
+        eye = np.linalg.norm(rows[:, 5:7] - rows[:, 7:9], axis=1)
+        n_ok = int((eye >= 5).sum())
+        if not 1 <= n_ok <= 50:
+            raise RuntimeError(
+                f"synth detector degenerate: {len(rows)} rows at conf>=0.97, "
+                f"{n_ok} with eye_dist>=5 (want 1..50)")
     sd = {f"module.{k}": v for k, v in net.state_dict().items()}
     torch.save(sd, path)
     return path
