@@ -33,6 +33,12 @@ _METRIC = "restored 512x512 faces/sec/chip (20-frame clip, KEEP full fwd)"
 
 
 def _measure():
+    # persistent XLA cache: the fused program compiles cold in ~8-9 min
+    # through the tunnel backend but loads in seconds on every later run
+    # (incl. the retry attempts below and the driver's round-end capture)
+    from comfyui_keep_tpu.utils.compile_cache import \
+        enable_persistent_compile_cache
+    enable_persistent_compile_cache()
     import jax
     import jax.numpy as jnp
     from comfyui_keep_tpu.models.keep import KEEP
@@ -105,7 +111,11 @@ def main():
         _measure()
         return
     attempts = max(1, int(os.environ.get("KEEP_TPU_BENCH_ATTEMPTS", "3")))
-    per_timeout = float(os.environ.get("KEEP_TPU_BENCH_TIMEOUT", "480"))
+    # a COLD run is ~10-12 min: ~8-9 min compiling the fused program through
+    # the tunnel + the tunnel's one-time ~1-3 min d2h channel warmup on the
+    # first fetch; with the persistent compile cache warm it is ~4-6 min
+    # (warmup + executable load dominate — local CPU time is ~20 s)
+    per_timeout = float(os.environ.get("KEEP_TPU_BENCH_TIMEOUT", "1200"))
     env = dict(os.environ)
     env[_CHILD_ENV] = "1"
     last_err = ""

@@ -270,44 +270,66 @@ def phase512_prepare(params, plan, kind: str, gen_start: Optional[int] = None,
         start = gen_start if gen_start is not None else phase512_generator_start(plan)
         rng = range(start, len(plan)) if start is not None else range(0)
 
+    # Fetch every tensor we will pack up front, SEQUENTIALLY: on the axon
+    # tunnel backend a multi-array jax.device_get deadlocks (measured: a
+    # dict fetch that never returns in 15 min where per-leaf np.asarray
+    # completes in seconds), so one-at-a-time it is. Most of the wall time
+    # here is the tunnel's one-time ~1-3 min device->host channel warmup on
+    # the FIRST transfer of the process, not the per-array round trips.
+    fetch = {}
+    for i in rng:
+        spec, p = plan[i], params["blocks"][i]
+        if spec[0] == "conv":
+            fetch[i] = {"w": p["w"], "b": p["b"]}
+        elif spec[0] == "res":
+            fetch[i] = {"c1w": p["conv1"]["w"], "c1b": p["conv1"]["b"],
+                        "c2w": p["conv2"]["w"], "c2b": p["conv2"]["b"]}
+        elif spec[0] in ("down", "up"):
+            fetch[i] = {"w": p["conv"]["w"], "b": p["conv"]["b"]}
+    import numpy as _np_mod
+    fetched = jax.tree.map(_np_mod.asarray, fetch)
+
     def _np(t):
         return np.asarray(t)
 
     blocks = list(params["blocks"])
     for i in rng:
         spec, p = plan[i], blocks[i]
+        f = fetched.get(i, {})
         if spec[0] == "conv":
-            w, b = pp.pack_conv3x3(_np(p["w"]), _np(p["b"]))
+            w, b = pp.pack_conv3x3(_np(f["w"]), _np(f["b"]))
             blocks[i] = {**p, "p512": {"w": w, "b": b}}
         elif spec[0] == "res":
-            w1, b1 = pp.pack_conv3x3(_np(p["conv1"]["w"]), _np(p["conv1"]["b"]))
-            w2, b2 = pp.pack_conv3x3(_np(p["conv2"]["w"]), _np(p["conv2"]["b"]))
+            w1, b1 = pp.pack_conv3x3(_np(f["c1w"]), _np(f["c1b"]))
+            w2, b2 = pp.pack_conv3x3(_np(f["c2w"]), _np(f["c2b"]))
             blocks[i] = {**p, "p512": {"conv1": {"w": w1, "b": b1},
                                        "conv2": {"w": w2, "b": b2}}}
         elif spec[0] == "down":
-            w, b = pp.pack_downsample3x3(_np(p["conv"]["w"]), _np(p["conv"]["b"]))
+            w, b = pp.pack_downsample3x3(_np(f["w"]), _np(f["b"]))
             # parity-0 variant for levels entered via space_to_depth (second
             # and deeper packed encoder levels have no parity-flipping init
             # conv, so their Downsample sees parity 0)
-            w0, b0 = pp.pack_downsample3x3_p0(_np(p["conv"]["w"]),
-                                              _np(p["conv"]["b"]))
+            w0, b0 = pp.pack_downsample3x3_p0(_np(f["w"]), _np(f["b"]))
             blocks[i] = {**p, "p512": {"w": w, "b": b},
                          "p512_p0": {"w": w0, "b": b0}}
         elif spec[0] == "up":
-            w, b = pp.pack_upconv3x3(_np(p["conv"]["w"]), _np(p["conv"]["b"]))
+            w, b = pp.pack_upconv3x3(_np(f["w"]), _np(f["b"]))
             # packed->packed variant for ups that receive an already-packed
             # level (multi-level tails run with no depth_to_space between
             # levels)
-            kp2p, bp2p = pp.pack_upconv3x3_p2p(_np(p["conv"]["w"]),
-                                               _np(p["conv"]["b"]))
+            kp2p, bp2p = pp.pack_upconv3x3_p2p(_np(f["w"]), _np(f["b"]))
             blocks[i] = {**p, "p512": {"w": w, "b": b},
                          "p512_p2p": {"k": kp2p, "b": bp2p}}
         # "norm" uses its unpacked scale/bias directly
+    # upload packed kernels as device arrays, NOT numpy: numpy leaves
+    # re-upload host->HBM on every jitted call (catastrophic through the
+    # axon tunnel). Per-leaf jnp.asarray is async/non-blocking; the batched
+    # device_put/device_get tree forms are avoided (tunnel deadlock, above).
+    for i in rng:
         for pk in ("p512", "p512_p2p", "p512_p0"):
             if pk in blocks[i]:
-                # device arrays, NOT numpy: numpy leaves re-upload host->HBM
-                # on every jitted call (catastrophic through the axon tunnel)
-                blocks[i][pk] = jax.tree.map(jnp.asarray, blocks[i][pk])
+                blocks[i] = {**blocks[i],
+                             pk: jax.tree.map(jnp.asarray, blocks[i][pk])}
     return {**params, "blocks": blocks}
 
 

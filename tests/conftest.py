@@ -19,6 +19,12 @@ import jax
 
 jax.config.update("jax_platforms", os.environ.get("KEEP_TPU_TEST_PLATFORM", "cpu"))
 
+# persistent XLA compilation cache: the heavy full-512 / mesh-trainer test
+# compiles are one-time costs instead of per-run costs
+from comfyui_keep_tpu.utils.compile_cache import enable_persistent_compile_cache  # noqa: E402
+
+enable_persistent_compile_cache()
+
 import numpy as np
 import pytest
 
@@ -63,6 +69,24 @@ _SLOW_TESTS = {
     "test_single_chip_chunk_stream_bitwise",
     "test_chunk_parallel_matches_sequential",
     "test_compositing_matches_reference_helper",
+    # round-4 re-measurement on the 8-vCPU host (--durations of the full
+    # not-slow lane): torch-reference-side compute dominates these, so the
+    # XLA compile cache cannot make them fast
+    "test_iteration_conditional_flow_freeze",
+    "test_gan_train_step_with_lazy_reg",
+    "test_video_recurrent_trainer_step",
+    "test_srgan_trainer_step",
+    "test_iconvsr_parity",
+    "test_encoder_prefix_multilevel",
+    "test_carried_chunks_stream",
+    "test_realesrgan_trainer_step",
+    "test_basicvsr_parity",
+    "test_synthesize_shapes_and_ranges",
+    "test_basicvsrpp_parity",
+    "test_toflow_parity",
+    "test_keep_prepare_smoke",
+    "test_edvr_parity",
+    "test_random_init_matches_reference_structure",
     # 10-15s
     "test_gmflow_bf16_serving_dtype",
     "test_detect_faces_value_parity",
@@ -79,6 +103,7 @@ _SLOW_TESTS = {
 _SLOW_QUALIFIED = {
     ("test_facelib_golden.py", "test_forward_parity"),   # ParseNet, 21s
     ("test_flow_harness.py", "test_train_step"),         # GMFlow trainer, 16s
+    ("test_training.py", "test_train_step"),             # KEEP mesh trainer, 50s
 }
 
 

@@ -32,6 +32,10 @@ def main():
     args = ap.parse_args()
 
     import jax
+    import os as _os, sys as _sys
+    _sys.path.insert(0, _os.path.dirname(_os.path.dirname(_os.path.abspath(__file__))))
+    from comfyui_keep_tpu.utils.compile_cache import enable_persistent_compile_cache
+    enable_persistent_compile_cache()
     import jax.numpy as jnp
     from comfyui_keep_tpu.models.keep import (KEEP, _plans, arch_tables,
                                               kalman_calc_gain)

@@ -33,6 +33,10 @@ def main():
     args = ap.parse_args()
 
     import jax
+    import os as _os, sys as _sys
+    _sys.path.insert(0, _os.path.dirname(_os.path.dirname(_os.path.abspath(__file__))))
+    from comfyui_keep_tpu.utils.compile_cache import enable_persistent_compile_cache
+    enable_persistent_compile_cache()
     import jax.numpy as jnp
     from jax import lax
 

@@ -1021,6 +1021,9 @@ def main(argv=None):
     # default, a deterministic ~1e-2 deviation that no dtype flag removes
     # (tests/conftest.py documents the same trap).
     import jax
+    from comfyui_keep_tpu.utils.compile_cache import \
+        enable_persistent_compile_cache
+    enable_persistent_compile_cache()
     if args.backend == "cpu":
         jax.config.update("jax_platforms", "cpu")
     if args.matmul_precision and args.matmul_precision != "default":
