@@ -297,6 +297,131 @@ class KEEP:
         return x, new_cfa, gen_feats
 
     @staticmethod
+    def _make_step(params, cfg, *, detach_16=True, remat=False,
+                   profile_mode=None, forced=False, gen_feats0=None):
+        """The frames-1..T-1 recurrence body shared by apply() and
+        apply_chunks(): carry = (prev_out, prev_cfa), inp = per-frame
+        (z_t, gain_t, fx_t, fy_t, enc_t[, forced_idx_t])."""
+        enc_plan, _ = _plans(cfg)
+
+        def step(carry, inp):
+            prev_out, prev_cfa = carry
+            if not forced:
+                (z_t, gain_t, fx_t, fy_t, enc_t), fi_t = inp, None
+            else:
+                z_t, gain_t, fx_t, fy_t, enc_t, fi_t = inp
+            # profile_mode isolates scan-step components for perf triage
+            if profile_mode == "no_hq":
+                z_hat = z_t
+            else:
+                # optimization_barrier: without it XLA fuses the warp's
+                # gathers into the encoder's first packed conv with a
+                # pathological layout (+2 ms/step on v5e, docs/ROADMAP.md)
+                warped = jax.lax.optimization_barrier(
+                    flow_warp_xy(jax.lax.stop_gradient(prev_out), fx_t, fy_t))
+                z_prime = blocks_apply(params["hq_encoder"], enc_plan, warped,
+                                       remat=remat)
+                z_hat = (1.0 - gain_t) * z_t + gain_t * z_prime
+            if profile_mode == "no_transformer":
+                quant, logits_t = z_hat, jnp.zeros(
+                    (z_hat.shape[0], cfg["latent_size"], cfg["codebook_size"]),
+                    z_hat.dtype)
+            else:
+                quant, logits_t, _ = KEEP._tokens_to_code(params, cfg, z_hat,
+                                                          force_idx=fi_t)
+            if detach_16:
+                quant = jax.lax.stop_gradient(quant)
+            if profile_mode == "no_generator":
+                out = jnp.zeros_like(prev_out) + quant.mean()
+                new_cfa = prev_cfa
+                gen_feats = {f: jnp.zeros_like(v) for f, v in gen_feats0.items()}
+            else:
+                # barriers on the 16x16 quant entering the generator and the
+                # 512x512 frame leaving it: same fusion-pathology class as
+                # the warp barrier above (-8 ms/clip on v5e)
+                out, new_cfa, gen_feats = KEEP._decode_frame(
+                    params, cfg, jax.lax.optimization_barrier(quant), enc_t,
+                    prev_cfa, first=False)
+                out = jax.lax.optimization_barrier(out)
+            return (out, new_cfa), (out, logits_t, gen_feats)
+
+        return jax.checkpoint(step) if remat else step
+
+    @staticmethod
+    def apply_chunks(params, x, flows=None, *, scan_unroll: int = 1, **cfg):
+        """Serving-only multi-chunk forward: x (G, T, H, W, 3) in [-1, 1]
+        -> (G, T, H, W, 3), each chunk restored independently (the
+        reference's per-chunk state reset, keep_processor.py:263-270).
+
+        Equivalent to G independent KEEP.apply(x[i:i+1]) calls, but every
+        NON-recurrent stage — LQ encoder + CFT taps, Kalman gain, frame-0
+        token pick + decode — runs batched over all G chunks (G*T frames)
+        in one pass, where the convs reach measurably better MXU
+        utilization than per-chunk (round-4 ledger: 2.59 -> 2.01 ms/frame
+        at 40 frames). Only the true recurrence (frames 1..T-1) runs as
+        lax.map of B=1 scan bodies: batching the scan body itself is the
+        XLA packed-conv layout pathology (B=2 scan 2x worse than linear,
+        round-4 bisection).
+
+        flows: (fx, fy) planes each (G, T-1, H, W) (flow_from_clip
+        planes=True on the (G, T) clip stack), a dense (G, T-1, H, W, 2)
+        tensor, or None for zeros."""
+        cfg = {**DEFAULT_CFG, **cfg}
+        g, t = x.shape[:2]
+        h, w = x.shape[2], x.shape[3]
+        if flows is None:
+            fxs = fys = jnp.zeros((g, t - 1, h, w), x.dtype)
+        elif isinstance(flows, (tuple, list)):
+            fxs, fys = flows
+        else:
+            fxs, fys = flows[..., 0], flows[..., 1]
+        fxs = jax.lax.stop_gradient(fxs)
+        fys = jax.lax.stop_gradient(fys)
+
+        enc_plan, _ = _plans(cfg)
+        _, enc_tap, _ = arch_tables(cfg)
+        tap = {enc_tap[f]: f for f in cfg["cft_list"]}
+        xf = x.reshape(g * t, h, w, 3)
+        z, taps = blocks_apply(params["encoder"], enc_plan, xf,
+                               tap_indices=list(tap), remat=False)
+        enc_feats = {tap[i]: jax.lax.stop_gradient(v).reshape(
+            (g, t) + v.shape[1:]) for i, v in taps.items()}
+        hl = z.shape[1]
+        z_codes = z.reshape(g, t, hl, hl, -1)
+        gains = kalman_calc_gain(params["kalman_filter"], z_codes,
+                                 n_head=cfg["n_head"])
+
+        # frame 0 of every chunk, batched (straight-line convs batch fine)
+        quant0, _, _ = KEEP._tokens_to_code(params, cfg, z_codes[:, 0])
+        quant0 = jax.lax.stop_gradient(quant0)
+        out0, cfa_feats0, _ = KEEP._decode_frame(
+            params, cfg, quant0,
+            {f: enc_feats[f][:, 0] for f in cfg["cft_list"]}, {}, first=True)
+
+        if t == 1:
+            return out0[:, None]
+
+        step_fn = KEEP._make_step(params, cfg, remat=False)
+
+        def one(args):
+            zc, gn, fx, fy, enc, o0, cfa0 = args
+            init = (o0[None], {k: v[None] for k, v in cfa0.items()})
+            xs = (
+                zc[1:, None],                         # (t-1, 1, hl, hl, C)
+                gn[1:, None],
+                fx[:, None],
+                fy[:, None],
+                {f: enc[f][1:, None] for f in cfg["cft_list"]},
+            )
+            _, (outs_rest, _, _) = jax.lax.scan(step_fn, init, xs,
+                                                unroll=scan_unroll)
+            return jnp.concatenate([o0[None], outs_rest[:, 0]], axis=0)
+
+        enc_stack = {f: enc_feats[f] for f in cfg["cft_list"]}
+        return jax.lax.map(
+            one, (z_codes, gains, fxs, fys, enc_stack, out0, cfa_feats0))
+
+    @staticmethod
     def apply(params, x, flows=None, *, detach_16=True, need_upscale=False,
               return_aux=False, remat=True, profile_mode=None, carry=None,
               return_carry=False, scan_unroll: int = 1, force_indices=None,
@@ -390,48 +515,10 @@ class KEEP:
             init, start = (out0, cfa_feats0), 1
 
         # --- frames 1..T-1 as lax.scan --------------------------------------
-        def step(carry, inp):
-            prev_out, prev_cfa = carry
-            if force_indices is None:
-                (z_t, gain_t, fx_t, fy_t, enc_t), fi_t = inp, None
-            else:
-                z_t, gain_t, fx_t, fy_t, enc_t, fi_t = inp
-            # profile_mode isolates scan-step components for perf triage
-            if profile_mode == "no_hq":
-                z_hat = z_t
-            else:
-                # optimization_barrier: without it XLA fuses the warp's
-                # gathers into the encoder's first packed conv with a
-                # pathological layout (+2 ms/step on v5e, docs/ROADMAP.md)
-                warped = jax.lax.optimization_barrier(
-                    flow_warp_xy(jax.lax.stop_gradient(prev_out), fx_t, fy_t))
-                z_prime = blocks_apply(params["hq_encoder"], enc_plan, warped,
-                                       remat=remat)
-                z_hat = (1.0 - gain_t) * z_t + gain_t * z_prime
-            if profile_mode == "no_transformer":
-                quant, logits_t = z_hat, jnp.zeros(
-                    (z_hat.shape[0], cfg["latent_size"], cfg["codebook_size"]),
-                    z_hat.dtype)
-            else:
-                quant, logits_t, _ = KEEP._tokens_to_code(params, cfg, z_hat,
-                                                          force_idx=fi_t)
-            if detach_16:
-                quant = jax.lax.stop_gradient(quant)
-            if profile_mode == "no_generator":
-                out = jnp.zeros_like(prev_out) + quant.mean()
-                new_cfa = prev_cfa
-                gen_feats = {f: jnp.zeros_like(v) for f, v in gen_feats0.items()}
-            else:
-                # barriers on the 16x16 quant entering the generator and the
-                # 512x512 frame leaving it: same fusion-pathology class as
-                # the warp barrier above (-8 ms/clip on v5e)
-                out, new_cfa, gen_feats = KEEP._decode_frame(
-                    params, cfg, jax.lax.optimization_barrier(quant), enc_t,
-                    prev_cfa, first=False)
-                out = jax.lax.optimization_barrier(out)
-            return (out, new_cfa), (out, logits_t, gen_feats)
-
-        step_fn = jax.checkpoint(step) if remat else step
+        step_fn = KEEP._make_step(params, cfg, detach_16=detach_16,
+                                  remat=remat, profile_mode=profile_mode,
+                                  forced=force_indices is not None,
+                                  gen_feats0=gen_feats0)
 
         xs = (
             jnp.moveaxis(z_codes[:, start:], 1, 0),

@@ -88,13 +88,18 @@ class KEEPFaceProcessor:
         return jitted
 
     def _restore_mapped_fn(self, t: int, n_chunks: int):
-        """One jitted program restoring n_chunks independent t-frame chunks
-        via lax.map of B=1 bodies — bit-identical to n_chunks sequential
-        _restore_fn calls (each map body IS the B=1 program; batching on the
-        batch axis instead hits the XLA B=2 conv-layout pathology,
-        docs/ROADMAP.md). One dispatch + one host fetch for the whole
-        stream replaces the reference's host chunk loop
-        (keep_processor.py:263-270)."""
+        """One jitted program restoring n_chunks independent t-frame chunks.
+
+        Default: KEEP.apply_chunks — GMFlow + LQ encoder + Kalman gain +
+        frame-0 batched over all chunks (measurably better MXU utilization,
+        round-4 ledger), recurrence as lax.map of B=1 scan bodies. Output
+        equals the sequential per-chunk loop to float-accumulation-order
+        (batched convs retile; bitwise-identical on CPU, <1e-5 on TPU).
+
+        KEEP_TPU_NO_STAGE_BATCH=1: the conservative lax.map of whole B=1
+        programs — bit-identical to n_chunks sequential _restore_fn calls.
+        Either way one dispatch + one host fetch per group replaces the
+        reference's host chunk loop (keep_processor.py:263-270)."""
         key = ("mapped", t, n_chunks)
         if key in self._fns:
             return self._fns[key]
@@ -104,14 +109,21 @@ class KEEPFaceProcessor:
         cfg = self.keep_cfg
         gm = self.gmflow_params
 
-        def fn(keep_params, gm_params, x):  # x: (n_chunks, t, H, W, 3)
-            def one(xc):
-                flows = (flow_from_clip(gm_params, xc[None], planes=True)
-                         if gm is not None else None)
-                return KEEP.apply(keep_params, xc[None], flows=flows,
-                                  remat=False, scan_unroll=2, **cfg)[0]
+        if os.environ.get("KEEP_TPU_NO_STAGE_BATCH") == "1":
+            def fn(keep_params, gm_params, x):  # x: (n_chunks, t, H, W, 3)
+                def one(xc):
+                    flows = (flow_from_clip(gm_params, xc[None], planes=True)
+                             if gm is not None else None)
+                    return KEEP.apply(keep_params, xc[None], flows=flows,
+                                      remat=False, scan_unroll=2, **cfg)[0]
 
-            return jax.lax.map(one, x)
+                return jax.lax.map(one, x)
+        else:
+            def fn(keep_params, gm_params, x):  # x: (n_chunks, t, H, W, 3)
+                flows = (flow_from_clip(gm_params, x, planes=True)
+                         if gm is not None else None)
+                return KEEP.apply_chunks(keep_params, x, flows=flows,
+                                         scan_unroll=2, **cfg)
 
         jitted = jax.jit(fn)
         self._fns[key] = jitted
