@@ -579,7 +579,10 @@ class GMFlow:
         optimization_barrier between stages: XLA otherwise fuses across the
         stage boundaries with pathological layouts (-3.5 ms/clip on v5e,
         same pathology class as the KEEP scan barriers — docs/ROADMAP.md)."""
-        bar = jax.lax.optimization_barrier
+        import os
+        bar = (jax.lax.optimization_barrier
+               if os.environ.get("KEEP_TPU_NO_BARRIERS") != "1"
+               else (lambda v: v))
         f0, f1 = bar(f0), bar(f1)
         f0, f1 = add_position(f0, f1, attn_splits, GMFlow.FEATURE_CHANNELS)
         f0, f1 = transformer_apply(params["transformer"], f0, f1, attn_splits)

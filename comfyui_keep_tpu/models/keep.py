@@ -301,8 +301,16 @@ class KEEP:
                    profile_mode=None, forced=False, gen_feats0=None):
         """The frames-1..T-1 recurrence body shared by apply() and
         apply_chunks(): carry = (prev_out, prev_cfa), inp = per-frame
-        (z_t, gain_t, fx_t, fy_t, enc_t[, forced_idx_t])."""
+        (z_t, gain_t, fx_t, fy_t, enc_t[, forced_idx_t]).
+
+        KEEP_TPU_NO_BARRIERS=1 drops the anti-fusion optimization_barriers
+        (a perf knob: they were measured wins on an older XLA whose layout
+        assignment misfused across them; re-sweep per XLA upgrade)."""
+        import os
         enc_plan, _ = _plans(cfg)
+        bar = (jax.lax.optimization_barrier
+               if os.environ.get("KEEP_TPU_NO_BARRIERS") != "1"
+               else (lambda v: v))
 
         def step(carry, inp):
             prev_out, prev_cfa = carry
@@ -317,7 +325,7 @@ class KEEP:
                 # optimization_barrier: without it XLA fuses the warp's
                 # gathers into the encoder's first packed conv with a
                 # pathological layout (+2 ms/step on v5e, docs/ROADMAP.md)
-                warped = jax.lax.optimization_barrier(
+                warped = bar(
                     flow_warp_xy(jax.lax.stop_gradient(prev_out), fx_t, fy_t))
                 z_prime = blocks_apply(params["hq_encoder"], enc_plan, warped,
                                        remat=remat)
@@ -340,9 +348,9 @@ class KEEP:
                 # 512x512 frame leaving it: same fusion-pathology class as
                 # the warp barrier above (-8 ms/clip on v5e)
                 out, new_cfa, gen_feats = KEEP._decode_frame(
-                    params, cfg, jax.lax.optimization_barrier(quant), enc_t,
+                    params, cfg, bar(quant), enc_t,
                     prev_cfa, first=False)
-                out = jax.lax.optimization_barrier(out)
+                out = bar(out)
             return (out, new_cfa), (out, logits_t, gen_feats)
 
         return jax.checkpoint(step) if remat else step
