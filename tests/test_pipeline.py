@@ -1,4 +1,6 @@
 """Pipeline/API tests on a tiny KEEP config (fast on CPU)."""
+import os
+
 import numpy as np
 import pytest
 
@@ -66,21 +68,55 @@ def test_one_frame_remainder_duplicates(pack, rng):
 
 
 def test_batched_full_chunks_bitwise(pack, rng):
-    """Streams with >= 2 full chunks run all full chunks as ONE lax.map
-    program by default (VERDICT r2 item 4); outputs must be BIT-equal to
-    chunk-at-a-time dispatch, including with a ragged tail."""
-    proc = pack.processor()
-    for n in (8, 9):  # exact multiple and ragged tail
-        faces = [(rng.random((64, 64, 3)) * 255).astype(np.uint8)
-                 for _ in range(n)]
-        batched = proc.restore_face_stream(faces, max_clip_length=2)
-        manual = []
-        for s in range(0, n, 2):
-            manual.extend(proc.restore_face_stream(faces[s:s + 2],
-                                                   max_clip_length=2))
-        assert len(batched) == n
-        for a, b in zip(batched, manual):
-            np.testing.assert_array_equal(a, b)
+    """Streams with >= 2 full chunks run all full chunks as ONE program
+    (stage-batched KEEP.apply_chunks by default; whole-program lax.map
+    under KEEP_TPU_NO_STAGE_BATCH=1); outputs must be BIT-equal to
+    chunk-at-a-time dispatch, including with a ragged tail. (Bitwise holds
+    for both paths on CPU; on TPU the stage-batched path retiles batched
+    convs and is only float-accumulation-equal.)"""
+    for env in (None, "1"):
+        if env is None:
+            os.environ.pop("KEEP_TPU_NO_STAGE_BATCH", None)
+        else:
+            os.environ["KEEP_TPU_NO_STAGE_BATCH"] = env
+        try:
+            proc = pack.processor()
+            for n in (8, 9):  # exact multiple and ragged tail
+                faces = [(rng.random((64, 64, 3)) * 255).astype(np.uint8)
+                         for _ in range(n)]
+                batched = proc.restore_face_stream(faces, max_clip_length=2)
+                manual = []
+                for s in range(0, n, 2):
+                    manual.extend(proc.restore_face_stream(
+                        faces[s:s + 2], max_clip_length=2))
+                assert len(batched) == n
+                for a, b in zip(batched, manual):
+                    np.testing.assert_array_equal(a, b)
+        finally:
+            os.environ.pop("KEEP_TPU_NO_STAGE_BATCH", None)
+
+
+def test_apply_chunks_matches_per_chunk(rng):
+    """KEEP.apply_chunks (stage-batched multi-chunk serving) equals
+    stacking independent per-chunk KEEP.apply calls — the reference's
+    chunk-reset semantics (keep_processor.py:263-270) — including with
+    real non-zero flows."""
+    import jax
+    from comfyui_keep_tpu.models.keep import KEEP
+
+    cfg = dict(TINY, codebook_size=64, n_layers=1,
+               num_uncertainty_layers=1)
+    params = KEEP.init(jax.random.PRNGKey(0), **cfg)
+    g, t, s = 3, 4, cfg["img_size"]
+    x = jax.random.normal(jax.random.PRNGKey(1), (g, t, s, s, 3)) * 0.3
+    fx = jax.random.normal(jax.random.PRNGKey(2), (g, t - 1, s, s)) * 2
+    fy = jax.random.normal(jax.random.PRNGKey(3), (g, t - 1, s, s)) * 2
+    out_c = np.asarray(KEEP.apply_chunks(params, x, flows=(fx, fy), **cfg))
+    ref = np.stack([np.asarray(KEEP.apply(
+        params, x[i:i + 1], flows=(fx[i:i + 1], fy[i:i + 1]),
+        remat=False, **cfg))[0] for i in range(g)])
+    assert out_c.shape == ref.shape
+    np.testing.assert_allclose(out_c, ref, atol=2e-5, rtol=1e-5)
 
 
 def test_no_faces_returns_bg(pack, rng):
