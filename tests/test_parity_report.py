@@ -143,6 +143,11 @@ def test_full_zoo_drill(tmp_path):
         assert r.get("error") is None, r
         assert r["psnr_db"] >= 40.0, r
         assert r["pass"] is True, r
+        det = r["det"]
+        assert det["counts_agree"] is True, det
+        assert sum(det["detections_per_frame"]) > 0, det
+        assert det["landmarks_agree"] is True, det
+        assert det["agree"] is True, det
     assert report["all_pass"] is True
 
 

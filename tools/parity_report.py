@@ -758,10 +758,16 @@ def run_config2(args, pack, ref, rng):
                                                  FFHQ_TEMPLATE_512)
     size = pack.keep_cfg["img_size"]
     img = _load_input_image(args, rng, size)
-    template = FFHQ_TEMPLATE_512 * (size / 512.0)
-    rows = None
-    if args.retinaface_ckpt:
-        detector = _real_detector(args)
+    det_report = None
+    if args.retinaface_ckpt and ref is not None:
+        # real-detector certification: both frameworks' forwards compared
+        # directly, then the agreed detections replayed into both
+        # pipelines (see _detection_parity for why replay)
+        rows, det_report = _detection_parity(
+            args, ref, [_read_for_detection(ref, img)])
+        detector = make_list_detector([r.copy() for r in rows])
+    elif args.retinaface_ckpt:
+        rows, detector = None, _real_detector(args)
     else:
         rows = _single_face_rows(FFHQ_TEMPLATE_512, img.shape[:2], 1)
         detector = make_list_detector(rows)
@@ -774,20 +780,73 @@ def run_config2(args, pack, ref, rng):
         return dict(psnr_db=None, ssim=None,
                     notes="reference unavailable; ours-only run OK",
                     out_shape=list(ours.shape))
-    # rows=None -> the reference side runs its OWN RetinaFace forward
-    # (retinaface.py:208-252) on the torch side; detection parity is then
-    # certified end-to-end, not replayed
-    theirs = ref.run_image(
-        img, 1.0, False, None if rows is None else [r.copy() for r in rows],
-        use_parse=True)
+    theirs = ref.run_image(img, 1.0, False, [r.copy() for r in rows],
+                           use_parse=True)
     p, s = psnr_ssim(ours, theirs)
-    return dict(psnr_db=p, ssim=s)
+    res = dict(psnr_db=p, ssim=s)
+    if det_report is not None:
+        res["det"] = det_report
+    return res
 
 
 def _real_detector(args):
     from comfyui_keep_tpu.facelib.factory import init_detection_model
     root = os.path.dirname(os.path.abspath(args.retinaface_ckpt))
     return init_detection_model("retinaface_resnet50", model_rootpath=root)
+
+
+def _read_for_detection(ref, img):
+    """The detection-space image (min-side-512 upscale) exactly as both
+    helpers produce it (face_restoration_helper.py:172-184)."""
+    helper = ref.make_helper(ref.cfg["img_size"], 1.0, None, False)
+    helper.read_image(img)
+    return helper.input_img
+
+
+def _detection_parity(args, ref, det_imgs):
+    """Real RetinaFace-ResNet50 forwards on BOTH frameworks over the same
+    detection-space frames (ours on the target backend; reference's own
+    retinaface.py:208-252 under torch). Returns (rows_ours, det_report).
+
+    The restore leg then REPLAYS rows_ours into both pipelines: running
+    each side on its own detections would feed the KEEP codebook argmax
+    crops differing by float noise, and the restore PSNR would collapse to
+    the ~12 dB chaos floor that docs/PARITY.md isolates for configs 1/3 by
+    teacher-forcing — a property of the model's discreteness, not an
+    implementation divergence. Detector agreement is certified HERE,
+    numerically, on the forward outputs themselves."""
+    det = _real_detector(args)
+    rows_ours = [np.asarray(det(im, 0.97), np.float32).reshape(-1, 15)
+                 for im in det_imgs]
+    counts = [int(a.shape[0]) for a in rows_ours]
+    if ref is None or ref.ref_detector is None:
+        return rows_ours, {"frames": len(det_imgs),
+                           "detections_per_frame": counts,
+                           "note": "reference detector unavailable"}
+    import torch
+    rows_ref = []
+    with torch.no_grad():
+        for im in det_imgs:
+            r = ref.ref_detector.detect_faces(im, 0.97)
+            rows_ref.append(np.asarray(r, np.float32).reshape(-1, 15))
+    counts_agree = all(a.shape[0] == b.shape[0]
+                      for a, b in zip(rows_ours, rows_ref))
+    rep = {"frames": len(det_imgs), "detections_per_frame": counts,
+           "counts_agree": bool(counts_agree)}
+    if counts_agree and sum(counts):
+        pairs = [(a, b) for a, b in zip(rows_ours, rows_ref) if a.shape[0]]
+        rep["max_landmark_px"] = max(
+            float(np.abs(a[:, 5:15] - b[:, 5:15]).max()) for a, b in pairs)
+        rep["max_box_px"] = max(
+            float(np.abs(a[:, :4] - b[:, :4]).max()) for a, b in pairs)
+        rep["max_score_delta"] = max(
+            float(np.abs(a[:, 4] - b[:, 4]).max()) for a, b in pairs)
+        # 0.5 px in detection space is far inside the pipeline's own
+        # granularity (5 px eye-dist filter, integer paste grid) yet ~50x
+        # the observed cross-backend float noise
+        rep["landmarks_agree"] = bool(rep["max_landmark_px"] <= 0.5)
+    rep["agree"] = bool(counts_agree and rep.get("landmarks_agree", True))
+    return rows_ours, rep
 
 
 def run_config3(args, pack, ref, rng):
@@ -823,12 +882,16 @@ def run_config4(args, pack, ref, rng):
     frames = _load_input_frames(args, rng, t, int(size * 1.3))
     h, w = _detection_space(frames[0].shape[:2])
     sc = min(h, w) / 512.0
-    if args.retinaface_ckpt:
-        # real multiface detection on both sides: the calibrated synth
-        # detector yields ~7-10 stable detections/frame, all tracked and
-        # batch-restored (only_center_face=False)
-        rows = None
-        detector = _real_detector(args)
+    det_report = None
+    if args.retinaface_ckpt and ref is not None:
+        # real multiface detection: the calibrated synth detector yields
+        # ~7-10 stable detections/frame; forwards compared directly per
+        # frame, agreed rows replayed into both tracked pipelines
+        rows, det_report = _detection_parity(
+            args, ref, [_read_for_detection(ref, f) for f in frames])
+        detector = make_list_detector([r.copy() for r in rows])
+    elif args.retinaface_ckpt:
+        rows, detector = None, _real_detector(args)
     else:
         rows = []
         for i in range(t):
@@ -848,13 +911,14 @@ def run_config4(args, pack, ref, rng):
         return dict(psnr_db=None, ssim=None,
                     notes="reference unavailable; ours-only run OK",
                     frames=len(ours))
-    theirs = ref.run_sequence(frames, 1.0, False,
-                              None if rows is None
-                              else [r.copy() for r in rows],
+    theirs = ref.run_sequence(frames, 1.0, False, [r.copy() for r in rows],
                               use_parse=True, max_clip_length=args.clip,
                               only_center_face=False)
     p, s = seq_psnr_ssim(ours, theirs)
-    return dict(psnr_db=p, ssim=s, frames=len(ours))
+    res = dict(psnr_db=p, ssim=s, frames=len(ours))
+    if det_report is not None:
+        res["det"] = det_report
+    return res
 
 
 def run_config5(args, pack, ref, rng):
@@ -864,9 +928,13 @@ def run_config5(args, pack, ref, rng):
                                                  FFHQ_TEMPLATE_512)
     size = pack.keep_cfg["img_size"]
     img = _load_input_image(args, rng, size)
-    if args.retinaface_ckpt:
-        rows = None
-        detector = _real_detector(args)
+    det_report = None
+    if args.retinaface_ckpt and ref is not None:
+        rows, det_report = _detection_parity(
+            args, ref, [_read_for_detection(ref, img)])
+        detector = make_list_detector([r.copy() for r in rows])
+    elif args.retinaface_ckpt:
+        rows, detector = None, _real_detector(args)
     else:
         rows = _single_face_rows(FFHQ_TEMPLATE_512, img.shape[:2], 1)
         detector = make_list_detector(rows)
@@ -895,13 +963,14 @@ def run_config5(args, pack, ref, rng):
         return dict(psnr_db=None, ssim=None,
                     notes="reference unavailable; ours-only run OK",
                     out_shape=list(ours.shape))
-    theirs = ref.run_image(img, 2.0, False,
-                           None if rows is None
-                           else [r.copy() for r in rows],
+    theirs = ref.run_image(img, 2.0, False, [r.copy() for r in rows],
                            use_parse=True, bg_model=bg_model,
                            face_model=face_model)
     p, s = psnr_ssim(ours, theirs)
-    return dict(psnr_db=p, ssim=s, out_shape=list(ours.shape))
+    res = dict(psnr_db=p, ssim=s, out_shape=list(ours.shape))
+    if det_report is not None:
+        res["det"] = det_report
+    return res
 
 
 CONFIG_FNS = {1: run_config1, 2: run_config2, 3: run_config3,
@@ -1070,7 +1139,9 @@ def main(argv=None):
         "reference_run": ref is not None,
         "reference_skip_reason": ref_reason,
         "bar_psnr_db": args.bar,
-        "detector": ("RetinaFace-ResNet50 (real forwards on BOTH sides)"
+        "detector": ("RetinaFace-ResNet50 (real forwards on BOTH sides; "
+                     "per-config det leg compares them numerically, "
+                     "restore leg replays the agreed detections)"
                      if args.retinaface_ckpt
                      else "synthetic-landmark stub (both sides)"),
         "parser": ("ParseNet (real forwards on BOTH sides)"
@@ -1091,12 +1162,18 @@ def main(argv=None):
         res["seconds"] = round(time.time() - t0, 2)
         if ref is not None:
             res["pass"] = (res.get("psnr_db") is not None
-                           and res["psnr_db"] >= args.bar)
+                           and res["psnr_db"] >= args.bar
+                           and res.get("det", {}).get("agree", True))
         report["configs"][str(c)] = res
         line = {k: res.get(k) for k in ("name", "psnr_db", "ssim", "pass",
                                         "psnr_db_forced", "index_agreement",
                                         "pass_forced", "error", "seconds")
                 if k in res}
+        if "det" in res:
+            line["det"] = {k: v for k, v in res["det"].items()
+                           if k in ("counts_agree", "max_landmark_px",
+                                    "landmarks_agree", "agree",
+                                    "detections_per_frame")}
         print(f"config {c}: {json.dumps(line)}")
 
     if ref is not None:
