@@ -90,16 +90,19 @@ class KEEPFaceProcessor:
     def _restore_mapped_fn(self, t: int, n_chunks: int):
         """One jitted program restoring n_chunks independent t-frame chunks.
 
-        Default: KEEP.apply_chunks — GMFlow + LQ encoder + Kalman gain +
-        frame-0 batched over all chunks (measurably better MXU utilization,
-        round-4 ledger), recurrence as lax.map of B=1 scan bodies. Output
-        equals the sequential per-chunk loop to float-accumulation-order
-        (batched convs retile; bitwise-identical on CPU, <1e-5 on TPU).
+        Default: lax.map of whole B=1 programs — bit-identical to n_chunks
+        sequential _restore_fn calls, and peak HBM stays one body's
+        (keep_processor.py:263-270 semantics, one dispatch + one host
+        fetch per group).
 
-        KEEP_TPU_NO_STAGE_BATCH=1: the conservative lax.map of whole B=1
-        programs — bit-identical to n_chunks sequential _restore_fn calls.
-        Either way one dispatch + one host fetch per group replaces the
-        reference's host chunk loop (keep_processor.py:263-270)."""
+        KEEP_TPU_STAGE_BATCH=1: KEEP.apply_chunks — GMFlow + LQ encoder +
+        Kalman gain + frame-0 batched over all chunks, recurrence as
+        lax.map of B=1 scan bodies. Measured perf-NEUTRAL on v5e (round-4
+        ledger) and the batched stage-1 holds G*T frames of encoder
+        activations in HBM at once (OOMs a 16G chip at G=2, T=20, f32 —
+        the round-4 cert config-4 failure), so it is opt-in: the
+        structural path for larger-HBM parts or a future XLA where
+        batching pays."""
         key = ("mapped", t, n_chunks)
         if key in self._fns:
             return self._fns[key]
@@ -109,7 +112,13 @@ class KEEPFaceProcessor:
         cfg = self.keep_cfg
         gm = self.gmflow_params
 
-        if os.environ.get("KEEP_TPU_NO_STAGE_BATCH") == "1":
+        if os.environ.get("KEEP_TPU_STAGE_BATCH") == "1":
+            def fn(keep_params, gm_params, x):  # x: (n_chunks, t, H, W, 3)
+                flows = (flow_from_clip(gm_params, x, planes=True)
+                         if gm is not None else None)
+                return KEEP.apply_chunks(keep_params, x, flows=flows,
+                                         scan_unroll=2, **cfg)
+        else:
             def fn(keep_params, gm_params, x):  # x: (n_chunks, t, H, W, 3)
                 def one(xc):
                     flows = (flow_from_clip(gm_params, xc[None], planes=True)
@@ -118,12 +127,6 @@ class KEEPFaceProcessor:
                                       remat=False, scan_unroll=2, **cfg)[0]
 
                 return jax.lax.map(one, x)
-        else:
-            def fn(keep_params, gm_params, x):  # x: (n_chunks, t, H, W, 3)
-                flows = (flow_from_clip(gm_params, x, planes=True)
-                         if gm is not None else None)
-                return KEEP.apply_chunks(keep_params, x, flows=flows,
-                                         scan_unroll=2, **cfg)
 
         jitted = jax.jit(fn)
         self._fns[key] = jitted

@@ -69,16 +69,16 @@ def test_one_frame_remainder_duplicates(pack, rng):
 
 def test_batched_full_chunks_bitwise(pack, rng):
     """Streams with >= 2 full chunks run all full chunks as ONE program
-    (stage-batched KEEP.apply_chunks by default; whole-program lax.map
-    under KEEP_TPU_NO_STAGE_BATCH=1); outputs must be BIT-equal to
+    (whole-program lax.map by default; stage-batched KEEP.apply_chunks
+    under opt-in KEEP_TPU_STAGE_BATCH=1); outputs must be BIT-equal to
     chunk-at-a-time dispatch, including with a ragged tail. (Bitwise holds
     for both paths on CPU; on TPU the stage-batched path retiles batched
     convs and is only float-accumulation-equal.)"""
     for env in (None, "1"):
         if env is None:
-            os.environ.pop("KEEP_TPU_NO_STAGE_BATCH", None)
+            os.environ.pop("KEEP_TPU_STAGE_BATCH", None)
         else:
-            os.environ["KEEP_TPU_NO_STAGE_BATCH"] = env
+            os.environ["KEEP_TPU_STAGE_BATCH"] = env
         try:
             proc = pack.processor()
             for n in (8, 9):  # exact multiple and ragged tail
@@ -93,7 +93,7 @@ def test_batched_full_chunks_bitwise(pack, rng):
                 for a, b in zip(batched, manual):
                     np.testing.assert_array_equal(a, b)
         finally:
-            os.environ.pop("KEEP_TPU_NO_STAGE_BATCH", None)
+            os.environ.pop("KEEP_TPU_STAGE_BATCH", None)
 
 
 def test_apply_chunks_matches_per_chunk(rng):
