@@ -367,14 +367,28 @@ def install_ref_retinaface():
 
     _install_stubs_arch_util()  # torchvision (+ops) stub
     _tv_resnet50 = _make_tv_resnet50_factory()
+    # package shells carry the REAL package __path__ (so other tests can
+    # import sibling submodules, e.g. yolov5face, through them) without
+    # ever executing the real wm_facelib/__init__ (which pulls in comfy)
+    shell_paths = {
+        "wm_facelib": [FACELIB_ROOT],
+        "wm_facelib.detection": [f"{FACELIB_ROOT}/detection"],
+        "wm_facelib.detection.retinaface":
+            [f"{FACELIB_ROOT}/detection/retinaface"],
+    }
     for name in ("torchvision.models", "torchvision.models._utils",
                  "comfy", "comfy.model_management",
                  "wm_facelib", "wm_facelib.detection",
                  "wm_facelib.detection.retinaface"):
         if name not in sys.modules:
             mod = types.ModuleType(name)
-            mod.__path__ = []
+            mod.__path__ = list(shell_paths.get(name, []))
             sys.modules[name] = mod
+        elif name in shell_paths:
+            mod = sys.modules[name]
+            have = list(getattr(mod, "__path__", []))
+            mod.__path__ = have + [p for p in shell_paths[name]
+                                   if p not in have]
     sys.modules["torchvision"].ops.nms = _tv_nms
     sys.modules["torchvision"].models = sys.modules["torchvision.models"]
     sys.modules["torchvision.models"].resnet50 = _tv_resnet50

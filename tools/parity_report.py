@@ -857,6 +857,47 @@ def _detection_parity(args, ref, det_imgs):
     return rows_ours, rep
 
 
+def _trackable_rows(rows, threshold: float = 60.0):
+    """Filter per-frame detection rows to temporally trackable chains:
+    keep only detections that continue a centroid chain from frame 0
+    within `threshold` px in EVERY frame (chains that break are dropped
+    from all frames). Needed for the config-4 replay because random-weight
+    detections flicker between frames, and the REFERENCE tracker
+    (keep_processor.py:42-115) calls scipy linear_sum_assignment on a
+    cost matrix with raw np.inf for >75 px pairs — a frame where some
+    active track has no nearby detection makes that matrix infeasible and
+    the reference CRASHES ('cost matrix is infeasible'; our tracker
+    pre-masks infeasible pairs, a documented robustness delta). The
+    detection-parity leg certifies the UNFILTERED forwards; the filter
+    only shapes what both pipelines replay."""
+    cents = [r[:, 5:15].reshape(-1, 5, 2).mean(1) if r.shape[0]
+             else np.zeros((0, 2), np.float32) for r in rows]
+    chains = [[j] for j in range(len(cents[0]))]
+    for i in range(1, len(rows)):
+        nxt, used = [], set()
+        for ch in chains:
+            if not len(cents[i]):
+                continue
+            d = np.linalg.norm(cents[i] - cents[i - 1][ch[-1]], axis=1)
+            for u in used:
+                d[u] = np.inf
+            j = int(np.argmin(d))
+            if np.isfinite(d[j]) and d[j] < threshold:
+                ch.append(j)
+                nxt.append(ch)
+                used.add(j)
+        chains = nxt
+        if not chains:
+            break
+    if not chains:
+        # nothing trackable: replay ONE synthetic stationary chain (the
+        # top-score frame-0 detection repeated), still identical on both
+        # sides
+        top = rows[0][int(np.argmax(rows[0][:, 4]))][None].copy()
+        return [top.copy() for _ in rows]
+    return [rows[i][[ch[i] for ch in chains]] for i in range(len(rows))]
+
+
 def _aligned_crops(pack, img, rows0):
     """Aligned face crops via OUR helper from the agreed detections of one
     frame — the exact crops both pipelines feed the net. Input to the
@@ -917,6 +958,8 @@ def run_config4(args, pack, ref, rng):
         # frame, agreed rows replayed into both tracked pipelines
         rows, det_report = _detection_parity(
             args, ref, [_read_for_detection(ref, f) for f in frames])
+        rows = _trackable_rows(rows)
+        det_report["replayed_per_frame"] = [int(r.shape[0]) for r in rows]
         detector = make_list_detector([r.copy() for r in rows])
     elif args.retinaface_ckpt:
         rows, detector = None, _real_detector(args)
