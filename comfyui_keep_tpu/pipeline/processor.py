@@ -103,7 +103,11 @@ class KEEPFaceProcessor:
         the round-4 cert config-4 failure), so it is opt-in: the
         structural path for larger-HBM parts or a future XLA where
         batching pays."""
-        key = ("mapped", t, n_chunks)
+        # the env flag is read at build time, so it must be part of the
+        # cache key — otherwise toggling it on a live processor silently
+        # keeps serving the previously-built program
+        key = ("mapped", t, n_chunks,
+               os.environ.get("KEEP_TPU_STAGE_BATCH") == "1")
         if key in self._fns:
             return self._fns[key]
         import jax

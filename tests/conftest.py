@@ -44,6 +44,7 @@ def rng():
 _SLOW_TESTS = {
     # >60s
     "test_keep_forward_parity",                      # full-512 KEEP golden
+    "test_apply_chunks_matches_per_chunk",           # 65s mapped-group equality
     "test_trainer_dp_tp_mesh_step",
     "test_ring_carry_pipeline_matches_host_streaming",
     "test_zip_ckpt_configs_1_3",                     # parity_report subprocess

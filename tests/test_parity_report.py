@@ -169,3 +169,44 @@ def test_legacy_ckpt_configs_2_4_5(tmp_path):
         assert r["psnr_db"] >= 40.0, r
         assert r["pass"] is True, r
     assert report["all_pass"] is True
+
+
+def test_cert_provenance_fields(tmp_path):
+    """cert_provenance() binds artifacts to code state: stable for an
+    unchanged tree, sensitive to any cert-relevant source edit."""
+    sys.path.insert(0, os.path.join(REPO, "tools"))
+    import parity_report
+    prov = parity_report.cert_provenance()
+    assert prov["cert_sources"], "no cert sources hashed"
+    assert "tools/parity_report.py" in prov["cert_sources"]
+    assert any(k.startswith("comfyui_keep_tpu/models/")
+               for k in prov["cert_sources"])
+    assert prov == parity_report.cert_provenance()  # deterministic
+
+
+def test_cert_artifact_not_stale():
+    """The committed parity_tpu.json must have been captured at the
+    current content of every cert-relevant source. A mismatch means the
+    certification predates a code change: re-run
+    `python tools/parity_report.py --zoo-dir ... --backend tpu
+    --matmul-precision highest --out parity_tpu.json` and commit the
+    artifact (VERDICT r4 item 5)."""
+    art = os.path.join(REPO, "parity_tpu.json")
+    if not os.path.exists(art):
+        pytest.skip("no committed parity_tpu.json")
+    with open(art) as f:
+        report = json.load(f)
+    if "cert_sources" not in report:
+        pytest.skip("parity_tpu.json predates provenance binding — "
+                    "re-certify to stamp git_rev + source hashes "
+                    "(staleness enforcement starts with the next capture)")
+    sys.path.insert(0, os.path.join(REPO, "tools"))
+    import parity_report
+    now = parity_report.cert_provenance()["cert_sources"]
+    stale = sorted(k for k in set(report["cert_sources"]) | set(now)
+                   if report["cert_sources"].get(k) != now.get(k))
+    assert not stale, (
+        f"certification artifact is STALE — these cert-relevant sources "
+        f"changed since capture (re-certify): {stale}")
+    assert report.get("all_pass") is True, (
+        "committed parity_tpu.json is not all_pass — re-certify")

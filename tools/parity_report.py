@@ -853,7 +853,12 @@ def _detection_parity(args, ref, det_imgs):
         # granularity (5 px eye-dist filter, integer paste grid) yet ~50x
         # the observed cross-backend float noise
         rep["landmarks_agree"] = bool(rep["max_landmark_px"] <= 0.5)
-    rep["agree"] = bool(counts_agree and rep.get("landmarks_agree", True))
+    # A run where neither detector found any face would make counts_agree
+    # trivially true and skip the landmark comparison entirely — that must
+    # not certify. Flag it and fail agreement.
+    rep["vacuous"] = not sum(counts)
+    rep["agree"] = bool(counts_agree and sum(counts)
+                        and rep.get("landmarks_agree", True))
     return rows_ours, rep
 
 
@@ -890,6 +895,12 @@ def _trackable_rows(rows, threshold: float = 60.0):
         if not chains:
             break
     if not chains:
+        if rows[0].shape[0] == 0:
+            # no frame-0 detections at all: nothing to replay — return
+            # empty rows so the caller reports a clean zero-detection
+            # outcome instead of crashing on an empty argmax
+            return [np.zeros((0, rows[0].shape[1]), rows[0].dtype)
+                    for _ in rows]
         # nothing trackable: replay ONE synthetic stationary chain (the
         # top-score frame-0 detection repeated), still identical on both
         # sides
@@ -1097,6 +1108,44 @@ def synth_shared_ckpt(path, variant, cfg_overrides):
     return path
 
 
+# Sources whose behavior the certification artifact attests to. The artifact
+# records their sha256 (plus the git rev it was captured at); a fast CI test
+# (tests/test_parity_report.py::test_cert_artifact_not_stale) recomputes the
+# hashes and fails with "re-certify" when any has changed since capture —
+# staleness is mechanically detectable (VERDICT r4 weakness 7).
+CERT_SOURCE_GLOBS = [
+    "tools/parity_report.py",
+    "tools/synth_zoo.py",
+    "comfyui_keep_tpu/models/*.py",
+    "comfyui_keep_tpu/facelib/*.py",
+    "comfyui_keep_tpu/pipeline/*.py",
+    "comfyui_keep_tpu/ops/*.py",
+    "comfyui_keep_tpu/utils/checkpoint.py",
+]
+
+
+def cert_provenance(repo_root=None):
+    """{'git_rev': ..., 'cert_sources': {relpath: sha256}} for the current
+    working tree (hashes bind to CONTENT, so a dirty tree is still bound)."""
+    import hashlib
+    import subprocess
+    root = repo_root or os.path.dirname(
+        os.path.dirname(os.path.abspath(__file__)))
+    try:
+        rev = subprocess.run(["git", "rev-parse", "HEAD"], cwd=root,
+                             capture_output=True, text=True,
+                             timeout=10).stdout.strip() or None
+    except Exception:
+        rev = None
+    hashes = {}
+    for pat in CERT_SOURCE_GLOBS:
+        for p in sorted(globmod.glob(os.path.join(root, pat))):
+            rel = os.path.relpath(p, root)
+            with open(p, "rb") as f:
+                hashes[rel] = hashlib.sha256(f.read()).hexdigest()
+    return {"git_rev": rev, "cert_sources": hashes}
+
+
 def main(argv=None):
     p = argparse.ArgumentParser(description=__doc__)
     p.add_argument("--keep-ckpt", default=None,
@@ -1233,12 +1282,29 @@ def main(argv=None):
                       else "shared deterministic np 2x"),
         "configs": {},
     }
+    report.update(cert_provenance())
+    # the tunnel compile helper is flaky (round-4 cert lost config 4 to a
+    # transient HTTP 500); retry a config whose failure smells environmental
+    # (remote-compile HTTP error / RPC deadline), never a real numeric fail
+    retries = max(0, int(os.environ.get("KEEP_TPU_CERT_RETRIES", "2")))
     for c in [int(x) for x in args.configs.split(",") if x.strip()]:
         t0 = time.time()
-        try:
-            res = CONFIG_FNS[c](args, pack, ref, rng)
-        except Exception as e:  # keep going; report the failure
-            res = dict(psnr_db=None, ssim=None, error=f"{type(e).__name__}: {e}")
+        for attempt in range(retries + 1):
+            try:
+                res = CONFIG_FNS[c](args, pack, ref, rng)
+                break
+            except Exception as e:  # keep going; report the failure
+                res = dict(psnr_db=None, ssim=None,
+                           error=f"{type(e).__name__}: {e}")
+                transient = any(s in str(e) for s in (
+                    "remote_compile", "HTTP 5", "DEADLINE_EXCEEDED",
+                    "UNAVAILABLE", "Connection re"))
+                if not transient or attempt == retries:
+                    break
+                print(f"config {c}: transient backend failure "
+                      f"(attempt {attempt + 1}/{retries + 1}), retrying: "
+                      f"{str(e)[:200]}", file=sys.stderr)
+                time.sleep(10)
         res["name"] = CONFIG_NAMES[c]
         res["seconds"] = round(time.time() - t0, 2)
         if ref is not None:
