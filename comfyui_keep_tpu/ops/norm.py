@@ -18,6 +18,17 @@ def group_norm(x, params, num_groups: int = 32, eps: float = 1e-6):
     c = x.shape[-1]
     k = c // num_groups
     n = x.shape[-3] * x.shape[-2] * k
+    # B>=2 layout guard (round-5 bisection, tools/_prof_b2_body.py): when
+    # the batch dim is >1 INSIDE a lax.scan body, XLA fuses this stats
+    # reduce into the producing conv and layout assignment picks a
+    # spatial-minor conv layout that runs ~2x worse than linear (conv+GN
+    # scan body: 1.94x vs 0.87x for conv alone; with this barrier 0.88x).
+    # The barrier is semantically identity; B=1 programs are untouched
+    # (leading dim 1 -> no barrier -> bitwise-identical serving path).
+    import os
+    if (x.ndim >= 4 and x.shape[0] > 1
+            and os.environ.get("KEEP_TPU_NO_GN_BARRIER") != "1"):
+        x = jax.lax.optimization_barrier(x)
     ct = jnp.promote_types(x.dtype, jnp.float32)  # f32 stats; exact in f64
     xf = x.astype(ct)
     s1 = jnp.sum(xf, axis=(-3, -2))                 # (..., C)

@@ -58,7 +58,7 @@ def main():
     def time_scan(label, body, init_carry, xs, b):
         @jax.jit
         def run(c, xs):
-            out, _ = lax.scan(body, c, xs)
+            out, _ = lax.scan(body, c, xs, length=args.steps)
             return out
 
         out = run(init_carry, xs)
@@ -114,10 +114,92 @@ def main():
         ratio("resblock", lambda b: (
             lambda c, _: (res_block(rb, c), ()), img(b), None))
 
+    # --- group_norm fine-grained variants (the conv_gn pathology) ---------
+    def _gn_apply(x, scale, shift):
+        return (x.astype(jnp.float32) * scale + shift).astype(x.dtype)
+
+    if "gn_reduce" in bodies:
+        # conv + per-channel sum reduce only (result folded in as a scalar)
+        def body(c, _):
+            x = lax.conv_general_dilated(c, k1, (1, 1), "SAME",
+                                         dimension_numbers=dn)
+            s = jnp.sum(x.astype(jnp.float32), axis=(-3, -2))  # (B, C)
+            return jax.nn.silu(x) + 1e-6 * jnp.mean(s).astype(dtype), ()
+        ratio("gn_reduce", lambda b: (body, img(b), None))
+
+    if "gn_apply" in bodies:
+        # conv + broadcast-apply of a FIXED per-(B,C) scale/shift (no reduce)
+        def make(b):
+            scale = jnp.ones((b, 1, 1, ch), jnp.float32)
+            shift = jnp.zeros((b, 1, 1, ch), jnp.float32)
+
+            def body(c, _):
+                x = lax.conv_general_dilated(c, k1, (1, 1), "SAME",
+                                             dimension_numbers=dn)
+                return jax.nn.silu(_gn_apply(x, scale, shift)), ()
+            return body, img(b), None
+        ratio("gn_apply", make)
+
+    if "gn_dot" in bodies:
+        # stats via MXU dot instead of VPU reduce window
+        def body(c, _):
+            x = lax.conv_general_dilated(c, k1, (1, 1), "SAME",
+                                         dimension_numbers=dn)
+            xf = x.astype(jnp.float32).reshape(x.shape[0], -1, ch)
+            ones = jnp.ones((xf.shape[1],), jnp.float32)
+            s1 = jnp.einsum("bpc,p->bc", xf, ones)
+            s2 = jnp.einsum("bpc,p->bc", jnp.square(xf), ones)
+            g1 = s1.reshape(s1.shape[0], 32, -1).sum(-1)
+            g2 = s2.reshape(s2.shape[0], 32, -1).sum(-1)
+            n = xf.shape[1] * (ch // 32)
+            mean = g1 / n
+            inv = lax.rsqrt(g2 / n - mean * mean + 1e-6)
+            scale = jnp.repeat(inv, ch // 32, -1)[:, None, None, :]
+            shift = jnp.repeat(-mean * inv, ch // 32, -1)[:, None, None, :]
+            return jax.nn.silu(_gn_apply(x, scale, shift)), ()
+        ratio("gn_dot", lambda b: (body, img(b), None))
+
+    if "gn_barrier" in bodies:
+        # current group_norm but with a barrier between conv and GN
+        def body(c, _):
+            x = lax.conv_general_dilated(c, k1, (1, 1), "SAME",
+                                         dimension_numbers=dn)
+            x = jax.lax.optimization_barrier(x)
+            return jax.nn.silu(group_norm(x, gn_p)), ()
+        ratio("gn_barrier", lambda b: (body, img(b), None))
+
+    if "gn_bf16" in bodies:
+        # current structure but stats in bf16 (is the f32 cast the trigger?)
+        def body(c, _):
+            x = lax.conv_general_dilated(c, k1, (1, 1), "SAME",
+                                         dimension_numbers=dn)
+            s1 = jnp.sum(x, axis=(-3, -2))
+            s2 = jnp.sum(jnp.square(x), axis=(-3, -2))
+            g1 = s1.reshape(s1.shape[0], 32, -1).sum(-1)
+            g2 = s2.reshape(s2.shape[0], 32, -1).sum(-1)
+            n = x.shape[-3] * x.shape[-2] * (ch // 32)
+            mean = g1 / n
+            inv = lax.rsqrt(g2 / n - mean * mean + 1e-6)
+            scale = jnp.repeat(inv, ch // 32, -1)[:, None, None, :]
+            shift = jnp.repeat(-mean * inv, ch // 32, -1)[:, None, None, :]
+            return jax.nn.silu(x * scale + shift), ()
+        ratio("gn_bf16", lambda b: (body, img(b), None))
+
+    if "gn_vmap" in bodies:
+        # batch dodge: vmap the B=1 GN over the batch axis
+        def gn1(x):
+            return jax.nn.silu(group_norm(x[None], gn_p))[0]
+
+        def body(c, _):
+            x = lax.conv_general_dilated(c, k1, (1, 1), "SAME",
+                                         dimension_numbers=dn)
+            return jax.vmap(gn1)(x), ()
+        ratio("gn_vmap", lambda b: (body, img(b), None))
+
     if "packed" in bodies:
-        w = np.asarray(jax.random.normal(key, (3, 3, 256, 256)) * 0.02,
+        w = np.asarray(jax.random.normal(key, (3, 3, ch, ch)) * 0.02,
                        np.float32)
-        pw, pb = PP.pack_conv3x3(w, np.zeros((256,), np.float32))
+        pw, pb = PP.pack_conv3x3(w, np.zeros((ch,), np.float32))
         pw = jnp.asarray(pw, dtype)
         pb = jnp.asarray(pb, dtype)
 
@@ -162,6 +244,21 @@ def main():
                 return c * 0.5 + jnp.mean(z).astype(dtype), ()
             return body, img(b, 3), None
         ratio("enc", make_enc)
+
+    if "encdepth" in bodies:
+        # depth bisection of the hq_encoder: scan a PREFIX of the block
+        # plan (closure as in 'enc'); the first depth whose B=2 ratio
+        # blows up names the culprit block type
+        enc_plan, _ = _plans(cfg)
+        pp = params["hq_encoder"]
+        for d in (3, 6, 9, 12, 15, 17, 23, 25):
+            def make_d(b, d=d):
+                def body(c, _):
+                    z = blocks_apply(pp, enc_plan, c, remat=False,
+                                     stop_index=d - 1)
+                    return c * 0.5 + jnp.mean(z).astype(dtype), ()
+                return body, img(b, 3), None
+            ratio(f"enc[:{d}]", make_d)
 
     if "dec" in bodies:
         _, enc_tap, _ = arch_tables(cfg)
