@@ -312,7 +312,13 @@ class KEEP:
                if os.environ.get("KEEP_TPU_NO_BARRIERS") != "1"
                else (lambda v: v))
 
+        from comfyui_keep_tpu.ops.norm import batched_scan_guard
+
         def step(carry, inp):
+            with batched_scan_guard():
+                return _step_inner(carry, inp)
+
+        def _step_inner(carry, inp):
             prev_out, prev_cfa = carry
             if not forced:
                 (z_t, gain_t, fx_t, fy_t, enc_t), fi_t = inp, None

@@ -3,8 +3,41 @@ reference archs: GroupNorm(32, eps=1e-6) in vqgan_arch.py:16-18, LayerNorm in
 keep_arch.py transformer blocks, InstanceNorm2d in gmflow backbone,
 BatchNorm2d (inference) in retinaface/parsenet.
 """
+import contextlib
+import os
+import threading
+
 import jax
 import jax.numpy as jnp
+
+# Trace-time guard for the B>=2 scan-body layout pathology (round-5
+# bisection, tools/_prof_b2_body.py): inside a lax.scan body with batch>1,
+# XLA fuses a GroupNorm's stats reduce into the producing conv and rewrites
+# the conv to a height-major `0b1f` form that runs ~2x worse than linear
+# (conv+GN body 1.94x vs 0.87x for conv alone; with an input barrier 0.88x).
+# The barrier must NOT fire in straight-line batched stages (e.g. the
+# B*T-frame LQ encoder), where the same fusion is a measured WIN — so it is
+# scoped by this context, entered only while a batched scan body is traced.
+_scan_ctx = threading.local()
+
+
+@contextlib.contextmanager
+def batched_scan_guard():
+    """Trace-time context: GN ops traced inside place a layout barrier on
+    their input when the leading dim is >1. Enter around scan-body code
+    that may trace with batch > 1."""
+    prev = getattr(_scan_ctx, "active", False)
+    _scan_ctx.active = True
+    try:
+        yield
+    finally:
+        _scan_ctx.active = prev
+
+
+def needs_scan_barrier(x) -> bool:
+    return (getattr(_scan_ctx, "active", False)
+            and x.ndim >= 4 and x.shape[0] > 1
+            and os.environ.get("KEEP_TPU_NO_GN_BARRIER") != "1")
 
 
 def group_norm(x, params, num_groups: int = 32, eps: float = 1e-6):
@@ -18,16 +51,9 @@ def group_norm(x, params, num_groups: int = 32, eps: float = 1e-6):
     c = x.shape[-1]
     k = c // num_groups
     n = x.shape[-3] * x.shape[-2] * k
-    # B>=2 layout guard (round-5 bisection, tools/_prof_b2_body.py): when
-    # the batch dim is >1 INSIDE a lax.scan body, XLA fuses this stats
-    # reduce into the producing conv and layout assignment picks a
-    # spatial-minor conv layout that runs ~2x worse than linear (conv+GN
-    # scan body: 1.94x vs 0.87x for conv alone; with this barrier 0.88x).
-    # The barrier is semantically identity; B=1 programs are untouched
-    # (leading dim 1 -> no barrier -> bitwise-identical serving path).
-    import os
-    if (x.ndim >= 4 and x.shape[0] > 1
-            and os.environ.get("KEEP_TPU_NO_GN_BARRIER") != "1"):
+    # B>=2 scan-body layout guard (see batched_scan_guard above); identity,
+    # and inert outside a guarded scan trace or at B=1
+    if needs_scan_barrier(x):
         x = jax.lax.optimization_barrier(x)
     ct = jnp.promote_types(x.dtype, jnp.float32)  # f32 stats; exact in f64
     xf = x.astype(ct)

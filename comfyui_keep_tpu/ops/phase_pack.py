@@ -204,6 +204,12 @@ def packed_group_norm(x, params, true_hw: Tuple[int, int],
     c = c4 // 4
     k = c // num_groups
     n = true_hw[0] * true_hw[1] * k
+    # same B>=2 scan-body layout guard as ops/norm.py group_norm (round-5
+    # bisection): keep XLA from fusing the stats reduce into the producing
+    # packed conv, which flips the conv to a height-major layout at B>1
+    from comfyui_keep_tpu.ops.norm import needs_scan_barrier
+    if needs_scan_barrier(x):
+        x = jax.lax.optimization_barrier(x)
     ct = jnp.promote_types(x.dtype, jnp.float32)  # f32 stats; exact in f64
     xf = x.astype(ct)
     s1 = jnp.sum(xf, axis=(-3, -2))                 # (..., 4C)

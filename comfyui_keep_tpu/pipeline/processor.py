@@ -107,7 +107,8 @@ class KEEPFaceProcessor:
         # cache key — otherwise toggling it on a live processor silently
         # keeps serving the previously-built program
         key = ("mapped", t, n_chunks,
-               os.environ.get("KEEP_TPU_STAGE_BATCH") == "1")
+               os.environ.get("KEEP_TPU_STAGE_BATCH") == "1",
+               os.environ.get("KEEP_TPU_BATCH_CHUNKS") == "1")
         if key in self._fns:
             return self._fns[key]
         import jax
@@ -116,7 +117,18 @@ class KEEPFaceProcessor:
         cfg = self.keep_cfg
         gm = self.gmflow_params
 
-        if os.environ.get("KEEP_TPU_STAGE_BATCH") == "1":
+        if os.environ.get("KEEP_TPU_BATCH_CHUNKS") == "1":
+            # fully batched serving: ONE B=n_chunks program, scan included.
+            # Viable once the B>=2 scan-body layout pathology is fixed
+            # (round-5 GN barrier + bisection); outputs match per-chunk
+            # processing up to batched-reduction float noise (argmax chaos
+            # floor applies — NOT bitwise; parity path stays lax.map).
+            def fn(keep_params, gm_params, x):  # x: (n_chunks, t, H, W, 3)
+                flows = (flow_from_clip(gm_params, x, planes=True)
+                         if gm is not None else None)
+                return KEEP.apply(keep_params, x, flows=flows,
+                                  remat=False, scan_unroll=2, **cfg)
+        elif os.environ.get("KEEP_TPU_STAGE_BATCH") == "1":
             def fn(keep_params, gm_params, x):  # x: (n_chunks, t, H, W, 3)
                 flows = (flow_from_clip(gm_params, x, planes=True)
                          if gm is not None else None)

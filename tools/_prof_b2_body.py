@@ -196,6 +196,37 @@ def main():
             return jax.vmap(gn1)(x), ()
         ratio("gn_vmap", lambda b: (body, img(b), None))
 
+    if "gn_outbar" in bodies:
+        # barrier on the GN OUTPUT as well (keeps the normalize-apply from
+        # fusing into the NEXT conv's input)
+        def body(c, _):
+            x = lax.conv_general_dilated(c, k1, (1, 1), "SAME",
+                                         dimension_numbers=dn)
+            x = jax.lax.optimization_barrier(
+                jax.nn.silu(group_norm(x, gn_p)))
+            x = lax.conv_general_dilated(x, k2, (1, 1), "SAME",
+                                         dimension_numbers=dn)
+            return jax.lax.optimization_barrier(
+                jax.nn.silu(group_norm(x, gn_p))), ()
+        ratio("gn_outbar", lambda b: (body, img(b), None))
+
+    if "rb_skipbar" in bodies:
+        # res_block with a barrier on the skip add
+        rb2 = jax.tree.map(lambda a: jnp.asarray(a, dtype),
+                           _block_init(key, ("res", ch, ch)))
+
+        def body(c, _):
+            h = jax.nn.silu(group_norm(c, rb2["norm1"]))
+            h = lax.conv_general_dilated(h, rb2["conv1"]["w"], (1, 1),
+                                         "SAME", dimension_numbers=dn)
+            h = h + rb2["conv1"]["b"]
+            h = jax.nn.silu(group_norm(h, rb2["norm2"]))
+            h = lax.conv_general_dilated(h, rb2["conv2"]["w"], (1, 1),
+                                         "SAME", dimension_numbers=dn)
+            h = h + rb2["conv2"]["b"]
+            return jax.lax.optimization_barrier(c + h), ()
+        ratio("rb_skipbar", lambda b: (body, img(b), None))
+
     if "packed" in bodies:
         w = np.asarray(jax.random.normal(key, (3, 3, ch, ch)) * 0.02,
                        np.float32)
@@ -225,7 +256,7 @@ def main():
         ratio("warp", make_warp)
 
     params = None
-    if "enc" in bodies or "dec" in bodies:
+    if "enc" in bodies or "dec" in bodies or "encdepth" in bodies:
         params = jax.jit(lambda k: KEEP.init(k, **cfg))(key)
         params = jax.tree.map(lambda a: a.astype(dtype), params)
         if os.environ.get("KEEP_TPU_NO_PHASE512") != "1":
