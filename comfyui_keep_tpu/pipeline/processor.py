@@ -60,6 +60,15 @@ class KEEPFaceProcessor:
         self.bg_upscaler = bg_upscaler
         self.face_upscaler = face_upscaler
         self.dtype = dtype or jnp.float32
+        if dtype is not None:
+            # serving dtype applies to params too — a bf16 processor over
+            # f32 params would fail conv dtype checks in the jitted paths
+            import jax
+            self.keep_params = jax.tree.map(
+                lambda a: jnp.asarray(a, dtype), self.keep_params)
+            if self.gmflow_params is not None:
+                self.gmflow_params = jax.tree.map(
+                    lambda a: jnp.asarray(a, dtype), self.gmflow_params)
         self.face_size = int(self.keep_cfg.get("img_size", 512))
         self._fns: Dict[int, Callable] = {}
 

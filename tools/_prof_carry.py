@@ -44,7 +44,7 @@ def main():
     base = rng.random((args.frames + 8, 520, 520, 3)).astype(np.float32)
     from scipy.ndimage import gaussian_filter
     base = gaussian_filter(base, sigma=(0, 12, 12, 0))
-    base = (base - base.min()) / (base.ptp() + 1e-8)
+    base = (base - base.min()) / (np.ptp(base) + 1e-8)
     faces = [(base[i:i + 1, i % 8:i % 8 + 512, i % 8:i % 8 + 512][0] * 255)
              .astype(np.uint8) for i in range(args.frames)]
 
