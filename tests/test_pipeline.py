@@ -204,3 +204,78 @@ def test_carried_chunks_stream(pack, rng):
     tail = proc.restore_face_stream(faces[:4], max_clip_length=3,
                                     carry_chunks=True)
     assert len(tail) == 4
+
+
+def test_batch_chunks_mode_matches_mapped(pack, rng):
+    """KEEP_TPU_BATCH_CHUNKS=1 (round 5: fully batched B=n_chunks program,
+    scan included — viable after the GN scan-barrier fix) matches the
+    default lax.map path on CPU. Batched reductions can differ in float
+    accumulation order, so this asserts closeness, not bitwise."""
+    faces = [(rng.random((64, 64, 3)) * 255).astype(np.uint8)
+             for _ in range(8)]
+    proc = pack.processor()
+    base = proc.restore_face_stream(faces, max_clip_length=2)
+    os.environ["KEEP_TPU_BATCH_CHUNKS"] = "1"
+    try:
+        proc2 = pack.processor()
+        batched = proc2.restore_face_stream(faces, max_clip_length=2)
+    finally:
+        os.environ.pop("KEEP_TPU_BATCH_CHUNKS", None)
+    assert len(batched) == 8
+    for a, b in zip(batched, base):
+        # u8 outputs; allow a 1-count rounding wiggle
+        assert np.abs(a.astype(np.int16) - b.astype(np.int16)).max() <= 1
+
+
+def test_gn_barrier_scoped_to_batched_scan_bodies():
+    """The round-5 GN layout barrier must appear in scan-body jaxprs at
+    B>1 and NOWHERE else: not at B=1 (bitwise-stable serving program) and
+    not in straight-line batched stages (their conv+GN fusion is a
+    measured win)."""
+    import jax
+    import jax.numpy as jnp
+    from comfyui_keep_tpu.models.keep import KEEP, _plans
+    from comfyui_keep_tpu.models.vqgan import blocks_apply
+    from comfyui_keep_tpu.ops.norm import batched_scan_guard
+
+    cfg = dict(TINY)
+    params = KEEP.init(jax.random.PRNGKey(0), **cfg)
+    full = {**KEEP.config("KEEP"), **cfg}
+
+    def count_barriers(jaxpr) -> int:
+        n = 0
+        for eqn in jaxpr.eqns:
+            if eqn.primitive.name == "optimization_barrier":
+                n += 1
+            for v in eqn.params.values():
+                if hasattr(v, "jaxpr"):
+                    n += count_barriers(v.jaxpr)
+                elif isinstance(v, (list, tuple)):
+                    for vv in v:
+                        if hasattr(vv, "jaxpr"):
+                            n += count_barriers(vv.jaxpr)
+        return n
+
+    def barriers_at(b):
+        x = jnp.zeros((b, 2, 64, 64, 3), jnp.float32)
+        jx = jax.make_jaxpr(
+            lambda p, z: KEEP.apply(p, z, remat=False, **cfg))(params, x)
+        return count_barriers(jx.jaxpr)
+
+    n1, n2 = barriers_at(1), barriers_at(2)
+    assert n2 > n1, (n1, n2)  # GN barriers appear only at B>1
+
+    # straight-line batched GN (the LQ-encoder pattern) stays barrier-free
+    enc_plan, _ = _plans(full)
+    xf = jnp.zeros((4, 64, 64, 3), jnp.float32)
+    js = jax.make_jaxpr(
+        lambda p, z: blocks_apply(p["encoder"], enc_plan, z,
+                                  remat=False))(params, xf)
+    assert count_barriers(js.jaxpr) == 0
+
+    # and the guard itself is what arms it
+    with batched_scan_guard():
+        ja = jax.make_jaxpr(
+            lambda p, z: blocks_apply(p["encoder"], enc_plan, z,
+                                      remat=False))(params, xf)
+    assert count_barriers(ja.jaxpr) > 0
