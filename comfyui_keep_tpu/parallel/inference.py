@@ -23,16 +23,19 @@ def restore_chunks_parallel(keep_params, keep_cfg, faces_pm1: np.ndarray,
     """faces_pm1: (N, H, W, 3) RGB [-1,1] -> restored (N, H, W, 3).
 
     Pads the stream so every chunk has length max_clip_length (padded frames
-    replicate the chunk's last frame — recurrence is causal, so real frames'
-    outputs are unaffected by trailing pad EXCEPT through the bidirectional
-    temporal attention in the Kalman gain. Measured (tests/test_parallel.py::
-    test_padded_tail_perturbation_bound): a trailing duplicate frame moves
-    real frames' codebook logits by ~1% of the logit scale, flipping ~1% of
-    code picks with random weights (flip rate is margin-dependent; trained
-    margins are far wider). Pixel deltas beyond that are the model's own
-    argmax discreteness, not an implementation error. For bit-parity with
-    the host-chunked reference path use the sequential processor; this entry
-    point targets throughput serving.)
+    replicate the chunk's last frame — recurrence is causal, so the ONLY
+    path from trailing pad into real frames' outputs is the bidirectional
+    temporal attention in the Kalman uncertainty estimator. Measured
+    (tests/test_parallel.py::test_padded_tail_perturbation_bound): with the
+    reference's zero-initialized temporal output projection the leak is
+    EXACTLY zero; with the temporal path armed (as trained weights would
+    be), a trailing duplicate frame moves real frames' codebook logits by
+    ~3% of the logit scale with ~99% of code picks unchanged on random
+    weights (flip rate is margin-dependent; trained margins are far wider).
+    Pixel deltas beyond that are the model's own argmax discreteness, not
+    an implementation error. For bit-parity with the host-chunked reference
+    path use the sequential processor; this entry point targets throughput
+    serving.)
     """
     import jax
     import jax.numpy as jnp

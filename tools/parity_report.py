@@ -971,6 +971,12 @@ def run_config4(args, pack, ref, rng):
             args, ref, [_read_for_detection(ref, f) for f in frames])
         rows = _trackable_rows(rows)
         det_report["replayed_per_frame"] = [int(r.shape[0]) for r in rows]
+        if sum(r.shape[0] for r in rows) == 0:
+            # nothing replayable (e.g. zero frame-0 detections): both
+            # pipelines would restore nothing and the PSNR would compare
+            # identical unprocessed frames — that must not certify
+            det_report["vacuous_replay"] = True
+            det_report["agree"] = False
         detector = make_list_detector([r.copy() for r in rows])
     elif args.retinaface_ckpt:
         rows, detector = None, _real_detector(args)
@@ -1116,11 +1122,15 @@ def synth_shared_ckpt(path, variant, cfg_overrides):
 CERT_SOURCE_GLOBS = [
     "tools/parity_report.py",
     "tools/synth_zoo.py",
+    "comfyui_keep_tpu/api.py",
     "comfyui_keep_tpu/models/*.py",
     "comfyui_keep_tpu/facelib/*.py",
     "comfyui_keep_tpu/pipeline/*.py",
     "comfyui_keep_tpu/ops/*.py",
     "comfyui_keep_tpu/utils/checkpoint.py",
+    "comfyui_keep_tpu/utils/image.py",
+    "comfyui_keep_tpu/metrics/psnr_ssim.py",
+    "tests/reference_oracle.py",
 ]
 
 
@@ -1291,7 +1301,13 @@ def main(argv=None):
         t0 = time.time()
         for attempt in range(retries + 1):
             try:
-                res = CONFIG_FNS[c](args, pack, ref, rng)
+                # fresh generator per (seed, config, attempt): a transient-
+                # failure retry must not consume draws from a shared stream
+                # and shift the inputs of this or any later config — same
+                # seed must mean same artifact numbers, retries or not
+                res = CONFIG_FNS[c](args, pack, ref,
+                                    np.random.default_rng(
+                                        (args.seed, c, attempt)))
                 break
             except Exception as e:  # keep going; report the failure
                 res = dict(psnr_db=None, ssim=None,
