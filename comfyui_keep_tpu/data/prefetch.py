@@ -123,9 +123,12 @@ class DevicePrefetcher:
         return out
 
     def _run(self):
-        for batch in self.loader:
-            self._queue.put(self._put_device(batch))
-        self._queue.put(self._stop)
+        try:
+            for batch in self.loader:
+                self._queue.put(self._put_device(batch))
+            self._queue.put(self._stop)
+        except BaseException as e:  # propagate into next() — a dead worker
+            self._queue.put(e)      # must raise, not deadlock the consumer
 
     def reset(self):
         self._thread = threading.Thread(target=self._run, daemon=True)
@@ -135,6 +138,9 @@ class DevicePrefetcher:
         if self._thread is None:
             self.reset()
         item = self._queue.get()
+        if isinstance(item, BaseException):
+            self._thread = None
+            raise item
         if item is self._stop:
             self._thread = None
             return None

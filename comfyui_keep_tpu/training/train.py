@@ -19,7 +19,7 @@ from comfyui_keep_tpu.utils.logger import (AvgTimer, MessageLogger,
 from comfyui_keep_tpu.utils.misc import make_exp_dirs, set_random_seed
 
 
-def create_train_val_loaders(opt, logger):
+def create_train_val_loaders(opt, logger, num_devices=1):
     from comfyui_keep_tpu.data import build_dataloader
 
     train_loader, val_loaders = None, []
@@ -30,7 +30,7 @@ def create_train_val_loaders(opt, logger):
                 len(ds), ratio=dataset_opt.get("dataset_enlarge_ratio", 1))
             train_loader = build_dataloader(
                 ds, {**dataset_opt, "phase": "train"}, sampler=sampler,
-                seed=opt.get("manual_seed"))
+                num_devices=num_devices, seed=opt.get("manual_seed"))
             logger.info(f"train dataset {dataset_opt['type']}: {len(ds)} items")
         elif phase.startswith("val"):
             ds = build_dataset(dataset_opt)
@@ -49,8 +49,12 @@ def train_pipeline(opt: Dict, max_iters: Optional[int] = None, use_mesh=True,
     if opt["path"].get("experiments_root"):
         make_exp_dirs(opt)
 
-    train_loader, val_loaders = create_train_val_loaders(opt, logger)
+    # mesh first: the loader's global batch is batch_size_per_gpu x the
+    # data-axis size (the reference's num_gpu batch multiplier, one jitted
+    # step feeding all local devices)
     mesh = _make_mesh() if use_mesh and len(jax.devices()) > 1 else None
+    train_loader, val_loaders = create_train_val_loaders(
+        opt, logger, num_devices=mesh.devices.size if mesh else 1)
     trainer = build_model(opt, mesh=mesh, **(trainer_kwargs or {}))
     state = trainer.make_state(jax.random.PRNGKey(opt.get("manual_seed", 0)))
 
@@ -81,6 +85,11 @@ def train_pipeline(opt: Dict, max_iters: Optional[int] = None, use_mesh=True,
             train_loader.sampler.set_epoch(epoch)
         prefetcher.reset()
         batch = prefetcher.next()
+        if batch is None and state.iter < total_iter:
+            raise ValueError(
+                "train loader produced no batches: dataset smaller than the "
+                "global batch (batch_size_per_gpu x data-axis devices, "
+                "drop_last) — raise dataset_enlarge_ratio or lower the batch")
         while batch is not None and state.iter < total_iter:
             data_timer.record()
             batch_arrays = {k: v for k, v in batch.items()

@@ -83,7 +83,21 @@ def set_debug(opt: Dict):
     return opt
 
 
+def pin_platform_from_env():
+    """Make `JAX_PLATFORMS=cpu python tools/train.py ...` effective even on
+    images whose sitecustomize force-registers an accelerator plugin at
+    interpreter start (where the env var alone is applied too late and the
+    first backend init pays the accelerator handshake anyway). Re-asserting
+    the env value through jax.config before any backend init restores the
+    documented env-var semantics; a no-op everywhere else."""
+    plat = os.environ.get("JAX_PLATFORMS")
+    if plat:
+        import jax
+        jax.config.update("jax_platforms", plat)
+
+
 def parse_options(root_path: str = ".", is_train: bool = True, args=None):
+    pin_platform_from_env()
     parser = argparse.ArgumentParser()
     parser.add_argument("-opt", type=str, required=True, help="config YAML path")
     parser.add_argument("--launcher", choices=["none", "jax"], default="none")

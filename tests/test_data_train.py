@@ -106,6 +106,26 @@ class TestSamplerLoader:
         assert batches[0]["x"].shape == (2, 2, 2)
         assert isinstance(batches[0]["name"], list)
 
+    def test_prefetcher_propagates_worker_errors(self):
+        """A failing loader (bad sharding, IO error, ...) must raise out of
+        next(), not kill the worker thread and deadlock the train loop."""
+        class BadLoader:
+            def __iter__(self):
+                raise RuntimeError("loader exploded")
+
+        pf = DevicePrefetcher(BadLoader())
+        with pytest.raises(RuntimeError, match="loader exploded"):
+            pf.next()
+        # and the prefetcher is reusable after the error surfaced
+        class OneBatch:
+            def __iter__(self):
+                yield {"lq": np.zeros((1, 2, 2, 3), np.float32)}
+
+        pf2 = DevicePrefetcher(OneBatch())
+        out = pf2.next()
+        assert out is not None and out["lq"].shape == (1, 2, 2, 3)
+        assert pf2.next() is None
+
 
 @pytest.fixture
 def vfhq_dir(tmp_path, rng):

@@ -61,6 +61,12 @@ def main():
     args = ap.parse_args()
     want = {int(c) for c in args.configs.split(",")}
 
+    from comfyui_keep_tpu.utils.options import pin_platform_from_env
+    pin_platform_from_env()
+    from comfyui_keep_tpu.utils.compile_cache import \
+        enable_persistent_compile_cache
+    enable_persistent_compile_cache()
+
     import jax.numpy as jnp
     from comfyui_keep_tpu import api
     from comfyui_keep_tpu.facelib.factory import (init_detection_model,

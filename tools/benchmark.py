@@ -20,6 +20,8 @@ sys.path.insert(0, __file__.rsplit("/", 2)[0])
 
 
 def main():
+    from comfyui_keep_tpu.utils.options import pin_platform_from_env
+    pin_platform_from_env()
     p = argparse.ArgumentParser()
     p.add_argument("--variant", default="KEEP")
     p.add_argument("--frames", type=int, default=20)

@@ -45,6 +45,8 @@ def parse_args():
 
 
 def main():
+    from comfyui_keep_tpu.utils.options import pin_platform_from_env
+    pin_platform_from_env()
     import jax
     import numpy as np
     from functools import partial
