@@ -115,6 +115,30 @@ val:
     assert "tiny_val" in blob and "psnr" in blob.lower()
 
 
+def test_train_flow_cli_smoke(tmp_path):
+    """tools/train_flow.py: 2 steps of GMFlow chairs training on a tiny
+    synthetic FlyingChairs tree, sharded over the 8-device virtual mesh,
+    with a checkpoint save (reference gmflow/main.py:20-557 CLI)."""
+    from comfyui_keep_tpu.data.flow_datasets import write_flo
+    PIL = pytest.importorskip("PIL.Image")
+    root = tmp_path / "chairs"
+    root.mkdir()
+    rng = np.random.default_rng(5)
+    for i in range(1, 11):
+        for j in (1, 2):
+            PIL.fromarray(rng.integers(0, 255, (32, 48, 3), dtype=np.uint8)
+                          ).save(str(root / f"{i:05d}_img{j}.ppm"))
+        write_flo(str(root / f"{i:05d}_flow.flo"),
+                  np.full((32, 48, 2), 1.0, np.float32))
+    ckpt_dir = tmp_path / "exp"
+    _run([os.path.join(REPO, "tools", "train_flow.py"),
+          "--stage", "chairs", "--image_size", "32", "48",
+          "--batch_size", "8", "--num_steps", "2", "--summary_freq", "1",
+          "--save_freq", "2", "--chairs_root", str(root),
+          "--checkpoint_dir", str(ckpt_dir)], cwd=str(tmp_path))
+    assert (ckpt_dir / "gmflow_chairs_2.npz").exists()
+
+
 def test_convert_checkpoint_cli(tmp_path):
     """tools/convert_checkpoint.py: torch .pth -> torch-free .npz with the
     reference loader semantics (params preference, module. strip)."""
