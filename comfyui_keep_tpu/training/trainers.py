@@ -41,7 +41,44 @@ class BaseTrainer:
         if sched_opt:
             self.schedule = with_warmup(build_scheduler(sched_opt),
                                         train_opt.get("warmup_iter", -1))
+        # train.mixed_precision: true|"bfloat16" — bf16 network compute with
+        # f32 master weights / optimizer / EMA (the standard TPU recipe; no
+        # loss scaling needed, bf16 keeps f32's exponent range). Grads reach
+        # the optimizer in f32 through the cast's VJP. The reference has no
+        # AMP path for these trainers; this is a TPU-first extension.
+        mp = train_opt.get("mixed_precision", False)
+        self.compute_dtype = None
+        if mp:
+            self.compute_dtype = "bfloat16" if mp is True else str(mp)
         self._step_fn = None
+
+    def _cast_compute(self, tree):
+        """Cast every floating leaf to the compute dtype (no-op if off)."""
+        if not self.compute_dtype:
+            return tree
+        import jax
+        import jax.numpy as jnp
+        dt = jnp.dtype(self.compute_dtype)
+        return jax.tree.map(
+            lambda a: a.astype(dt)
+            if hasattr(a, "dtype") and jnp.issubdtype(a.dtype, jnp.floating)
+            else a, tree)
+
+    def _compute_loss_fn(self):
+        """loss_fn for the jitted step: identity in full precision; under
+        mixed precision the network sees bf16 params/batch and the scalar
+        loss/aux are upcast so the optimizer math stays f32."""
+        if not self.compute_dtype:
+            return self.loss_fn
+        import jax
+        import jax.numpy as jnp
+
+        def wrapped(params, batch, rng):
+            loss, aux = self.loss_fn(self._cast_compute(params),
+                                     self._cast_compute(batch), rng)
+            return (jnp.asarray(loss, jnp.float32),
+                    jax.tree.map(lambda v: jnp.asarray(v, jnp.float32), aux))
+        return wrapped
 
     def _tp_axis(self):
         """Mesh axis name for tensor parallelism, if the mesh has one."""
@@ -78,9 +115,11 @@ class BaseTrainer:
         import jax
         import optax
         if self._step_fn is None:
+            loss_fn = self._compute_loss_fn()
+
             def step(params, opt_state, ema, batch, rng):
                 (loss, loss_dict), grads = jax.value_and_grad(
-                    self.loss_fn, has_aux=True)(params, batch, rng)
+                    loss_fn, has_aux=True)(params, batch, rng)
                 updates, opt_state = self.tx.update(grads, opt_state, params)
                 params = optax.apply_updates(params, updates)
                 if ema is not None:
@@ -218,8 +257,10 @@ class KEEPTrainer(BaseTrainer):
             if t.get("perceptual_opt") else None
         self.cri_temporal = build_loss(t["temporal_opt"]) if t.get("temporal_opt") else None
         self.temporal_type = t.get("temporal_warp_type", "GT")
-        self.hq_vqgan_params = hq_vqgan_params
-        self.gmflow_params = gmflow_params
+        # frozen aux nets ride the compute dtype too (they are closure
+        # constants, not optimizer state — nothing to keep in f32)
+        self.hq_vqgan_params = self._cast_compute(hq_vqgan_params)
+        self.gmflow_params = self._cast_compute(gmflow_params)
 
     def init_params(self, key):
         return self.KEEP.init(key, **self.cfg)
@@ -377,7 +418,10 @@ class KEEPGANTrainer(KEEPTrainer):
         rng = rng if rng is not None else jax.random.PRNGKey(current_iter)
 
         def g_loss(params, d_params, batch, rng):
-            total, loss_dict = self.loss_fn(params, batch, rng)
+            params = self._cast_compute(params)       # bf16 compute path
+            d_params = self._cast_compute(d_params)   # (identity when off);
+            batch = self._cast_compute(batch)         # grads exit f32 via the
+            total, loss_dict = self.loss_fn(params, batch, rng)  # cast VJP
             flows = self._flows(batch["lq"]) if self.gmflow_params is not None else None
             outs = self.KEEP.apply(params, batch["lq"], flows=flows,
                                    detach_16=True, **self.cfg)
@@ -408,8 +452,10 @@ class KEEPGANTrainer(KEEPTrainer):
         import optax
 
         def d_loss(dp):
-            real_pred = self.disc.apply(dp, real)
-            fake_pred = self.disc.apply(dp, jax.lax.stop_gradient(fake))
+            dp = self._cast_compute(dp)
+            real_pred = self.disc.apply(dp, self._cast_compute(real))
+            fake_pred = self.disc.apply(
+                dp, jax.lax.stop_gradient(self._cast_compute(fake)))
             l_real = self.cri_gan(real_pred, True, is_disc=True)
             l_fake = self.cri_gan(fake_pred, False, is_disc=True)
             return l_real + l_fake, (l_real, l_fake)
@@ -461,6 +507,9 @@ class SRGANTrainer(SRTrainer):
                    current_iter >= self.net_d_init_iters)
 
         def g_loss(params, d_params, batch):
+            params = self._cast_compute(params)      # bf16 compute, f32 grads
+            d_params = self._cast_compute(d_params)  # (identity when off)
+            batch = self._cast_compute(batch)
             out = self.forward(params, batch["lq"])
             total, loss_dict = 0.0, {}
             if self.cri_pix is not None:
@@ -496,10 +545,13 @@ class SRGANTrainer(SRTrainer):
             out = self.forward(state.params, batch["lq"])
 
         def d_loss(dp):
-            real_pred = self.d_arch.apply(dp, batch["gt"], **self._d_apply_cfg)
-            l_real = self.cri_gan(real_pred, True, is_disc=True)
-            fake_pred = self.d_arch.apply(dp, jax.lax.stop_gradient(out),
+            dp = self._cast_compute(dp)
+            real_pred = self.d_arch.apply(dp, self._cast_compute(batch["gt"]),
                                           **self._d_apply_cfg)
+            l_real = self.cri_gan(real_pred, True, is_disc=True)
+            fake_pred = self.d_arch.apply(
+                dp, jax.lax.stop_gradient(self._cast_compute(out)),
+                **self._d_apply_cfg)
             l_fake = self.cri_gan(fake_pred, False, is_disc=True)
             return l_real + l_fake, (l_real, l_fake)
 

@@ -51,6 +51,8 @@ _SLOW_TESTS = {
     "test_ring_carry_pipeline_with_gmflow_matches_flowed_host",
     # 15-60s
     "test_train_and_test_cli_end_to_end",            # 2 CLI subprocesses
+    "test_keep_step_mixed",                          # bf16 KEEP step compile
+    "test_srgan_gan_step_mixed",                     # bf16 g/d step compiles
     "test_train_flow_cli_smoke",                     # GMFlow CLI subprocess, ~70s
     "test_generator_tail_multilevel",
     "test_dfdnet_forward",

@@ -279,3 +279,100 @@ def test_ldl_artifact_map_parity(rng):
     ref[res_sr < res_ema] = 0
     np.testing.assert_allclose(ours[..., 0], ref.numpy()[:, 0],
                                atol=1e-5, rtol=1e-4)
+
+
+class TestMixedPrecision:
+    """train.mixed_precision: bf16 compute, f32 masters (TPU-first
+    extension; the reference has no AMP path for these trainers)."""
+
+    def _sr_opt(self, mixed):
+        return {
+            "model_type": "SRModel",
+            "network_g": {"type": "MSRResNet", "num_feat": 8, "num_block": 1,
+                          "upscale": 2},
+            "train": {"pixel_opt": {"type": "L1Loss"},
+                      "optim_g": {"type": "Adam", "lr": 1e-3},
+                      "ema_decay": 0.99,
+                      **({"mixed_precision": True} if mixed else {})},
+        }
+
+    def test_sr_step_matches_f32_and_keeps_f32_masters(self, rng):
+        batch = {"lq": jnp.asarray(rng.random((2, 8, 8, 3), np.float32)),
+                 "gt": jnp.asarray(rng.random((2, 16, 16, 3), np.float32))}
+        losses = {}
+        for mixed in (False, True):
+            tr = SRTrainer(self._sr_opt(mixed))
+            state = tr.make_state(jax.random.PRNGKey(0))
+            state, logs = tr.train_step(state, batch)
+            state, logs = tr.train_step(state, batch)
+            losses[mixed] = logs["l_pix"]
+            # masters, EMA and optimizer state never leave f32
+            for leaf in jax.tree.leaves(state.params) + \
+                    jax.tree.leaves(state.ema_params):
+                assert leaf.dtype == jnp.float32
+        assert np.isfinite(losses[True])
+        # bf16 compute tracks the f32 loss to bf16 resolution
+        np.testing.assert_allclose(losses[True], losses[False],
+                                   rtol=2e-2, atol=2e-3)
+
+    def test_keep_step_mixed(self, rng):
+        from comfyui_keep_tpu.models.vqgan import VQHQEncoder
+        opt = {
+            "model_type": "KEEPModel",
+            "network_g": {"type": "KEEP", **TINY,
+                          "fix_modules": ["quantize", "generator"]},
+            "train": {
+                "use_hq_feat_loss": True, "cross_entropy_loss": True,
+                "pixel_opt": {"type": "L1Loss", "loss_weight": 1.0},
+                "temporal_opt": {"type": "L1Loss", "loss_weight": 0.1},
+                "temporal_warp_type": "GT",
+                "optim_g": {"type": "Adam", "lr": 1e-3},
+                "mixed_precision": True,
+            },
+        }
+        hq = VQHQEncoder.init(jax.random.PRNGKey(3), img_size=64, nf=32,
+                              ch_mult=(1, 2, 2), res_blocks=2,
+                              attn_resolutions=(16,), codebook_size=64,
+                              emb_dim=32)
+        tr = KEEPTrainer(opt, hq_vqgan_params=hq)
+        # frozen aux nets ride the compute dtype
+        assert all(l.dtype == jnp.bfloat16
+                   for l in jax.tree.leaves(tr.hq_vqgan_params))
+        state = tr.make_state(jax.random.PRNGKey(0))
+        batch = {
+            "lq": jnp.asarray(rng.random((1, 2, 64, 64, 3), np.float32) - .5),
+            "gt": jnp.asarray(rng.random((1, 2, 64, 64, 3), np.float32) - .5),
+        }
+        p0 = jax.tree.map(np.asarray, state.params)
+        state, logs = tr.train_step(state, batch)
+        assert all(np.isfinite(v) for v in logs.values())
+        for leaf in jax.tree.leaves(state.params):
+            assert leaf.dtype == jnp.float32
+        assert not np.allclose(np.asarray(state.params["feat_emb"]["w"]),
+                               p0["feat_emb"]["w"])
+
+    def test_srgan_gan_step_mixed(self, rng):
+        from comfyui_keep_tpu.training.trainers import build_model
+        opt = {
+            "model_type": "SRGANModel",
+            "network_g": {"type": "MSRResNet", "num_feat": 8, "num_block": 1,
+                          "upscale": 2},
+            "network_d": {"type": "UNetDiscriminatorSN", "num_in_ch": 3,
+                          "num_feat": 8},
+            "train": {"pixel_opt": {"type": "L1Loss"},
+                      "gan_opt": {"type": "GANLoss", "gan_type": "vanilla",
+                                  "loss_weight": 0.1},
+                      "optim_g": {"type": "Adam", "lr": 1e-4},
+                      "optim_d": {"type": "Adam", "lr": 1e-4},
+                      "mixed_precision": True},
+        }
+        tr = build_model(opt)
+        state = tr.make_state(jax.random.PRNGKey(0))
+        batch = {"lq": jnp.asarray(rng.random((1, 16, 16, 3), np.float32)),
+                 "gt": jnp.asarray(rng.random((1, 32, 32, 3), np.float32))}
+        state, logs = tr.gan_train_step(state, batch, current_iter=1)
+        assert {"l_g_pix", "l_g_gan", "l_d"} <= set(logs)
+        assert all(np.isfinite(v) for v in logs.values())
+        for leaf in jax.tree.leaves(state.params) + \
+                jax.tree.leaves(tr.d_params):
+            assert leaf.dtype == jnp.float32

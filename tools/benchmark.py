@@ -37,6 +37,9 @@ def main():
                    help="capture a jax.profiler trace into this directory")
     p.add_argument("--train", action="store_true",
                    help="benchmark the KEEP training step instead of serving")
+    p.add_argument("--mixed", action="store_true",
+                   help="with --train: bf16 compute / f32 masters "
+                        "(train.mixed_precision)")
     p.add_argument("--tiny", action="store_true",
                    help="64x64 toy config (smoke-testing the harness)")
     p.add_argument("--platform", default=None,
@@ -133,6 +136,7 @@ def train_bench(args):
             "temporal_warp_type": "GT",
             "optim_g": {"type": "Adam", "lr": 1e-4},
             "ema_decay": 0.99,
+            "mixed_precision": bool(args.mixed),
         },
     }
     hq = VQHQEncoder.init(
@@ -164,6 +168,7 @@ def train_bench(args):
     import json
     print(json.dumps({
         "mode": "train", "variant": args.variant,
+        "mixed_precision": bool(args.mixed),
         "frames": t, "batch": b,
         "ms_per_iter": round(elapsed / args.iters * 1000, 3),
         "frames_per_sec": round(b * t * args.iters / elapsed, 3),
