@@ -141,6 +141,29 @@ def test_trainer_dp_mesh_step(rng):
     assert np.isfinite(logs2["l_pix"])
 
 
+def test_trainer_dp_mesh_step_mixed_precision(rng):
+    """Mixed precision composes with the dp mesh step: bf16 compute under
+    GSPMD shardings, f32 replicated masters."""
+    import jax
+    import jax.numpy as jnp
+    from comfyui_keep_tpu.training.trainers import SRTrainer
+    opt = {"model_type": "SRModel",
+           "network_g": {"type": "MSRResNet", "num_feat": 8, "num_block": 1,
+                         "upscale": 2},
+           "train": {"pixel_opt": {"type": "L1Loss"},
+                     "optim_g": {"type": "Adam", "lr": 1e-3},
+                     "mixed_precision": True}}
+    mesh = make_mesh()
+    tr = SRTrainer(opt, mesh=mesh)
+    state = tr.make_state(jax.random.PRNGKey(0))
+    batch = {"lq": jnp.asarray(rng.random((8, 8, 8, 3), dtype=np.float32)),
+             "gt": jnp.asarray(rng.random((8, 16, 16, 3), dtype=np.float32))}
+    state, logs = tr.train_step(state, batch)
+    assert np.isfinite(logs["l_pix"])
+    leaf = jax.tree.leaves(state.params)[0]
+    assert leaf.dtype == jnp.float32 and leaf.sharding.is_fully_replicated
+
+
 def test_ring_carry_pipeline_matches_host_streaming(rng):
     """parallel/sequence.py: carried-state pipeline over the 'seq' mesh axis
     == host-side carried-chunk streaming (SURVEY §5.7 ring-pass of the
