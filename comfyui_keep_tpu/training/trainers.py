@@ -109,6 +109,14 @@ class BaseTrainer:
         frozen = tuple(self.opt.get("network_g", {}).get("fix_modules", ()) or ())
         if frozen:
             tx = masked_optimizer(tx, params, frozen)
+        # train.accumulate_steps: k micro-batches per optimizer step (grads
+        # averaged by optax.MultiSteps; params/LR schedule advance once per
+        # window). Large effective batches without the HBM of a large batch —
+        # a TPU-first extension, no reference equivalent.
+        accum = int(train_opt.get("accumulate_steps", 1))
+        if accum > 1:
+            import optax
+            tx = optax.MultiSteps(tx, every_k_schedule=accum)
         return tx
 
     def train_step(self, state: TrainState, batch, rng=None):

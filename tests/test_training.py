@@ -376,3 +376,28 @@ class TestMixedPrecision:
         for leaf in jax.tree.leaves(state.params) + \
                 jax.tree.leaves(tr.d_params):
             assert leaf.dtype == jnp.float32
+
+
+def test_gradient_accumulation(rng):
+    """train.accumulate_steps=2: params move once per 2 micro-steps
+    (optax.MultiSteps window), matching a single step on averaged grads."""
+    opt = {
+        "model_type": "SRModel",
+        "network_g": {"type": "MSRResNet", "num_feat": 8, "num_block": 1,
+                      "upscale": 2},
+        "train": {"pixel_opt": {"type": "L1Loss"},
+                  "optim_g": {"type": "Adam", "lr": 1e-3},
+                  "accumulate_steps": 2},
+    }
+    tr = SRTrainer(opt)
+    state = tr.make_state(jax.random.PRNGKey(0))
+    batch = {"lq": jnp.asarray(rng.random((2, 8, 8, 3), np.float32)),
+             "gt": jnp.asarray(rng.random((2, 16, 16, 3), np.float32))}
+    p0 = jax.tree.map(np.asarray, state.params)
+    state, logs = tr.train_step(state, batch)
+    np.testing.assert_array_equal(  # mid-window: grads held, params frozen
+        np.asarray(jax.tree.leaves(state.params)[0]), jax.tree.leaves(p0)[0])
+    state, logs = tr.train_step(state, batch)
+    assert not np.allclose(np.asarray(jax.tree.leaves(state.params)[0]),
+                           jax.tree.leaves(p0)[0])
+    assert np.isfinite(logs["l_pix"])
