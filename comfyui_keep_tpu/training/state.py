@@ -71,6 +71,47 @@ class TrainState:
         self.iter = int(np.asarray(data["meta"]["iter"]))
         return data.get("opt_state")
 
+    def resume_optimizer(self, opt_state_data):
+        """Graft saved optimizer moments back onto the live optax state
+        (the reference's resume_training restores optimizers + schedulers,
+        wm_basicsr/models/base_model.py resume_training; without this a
+        resumed Adam restarts its moments from zero)."""
+        if opt_state_data is not None and self.opt_state is not None:
+            self.opt_state = graft_tree(self.opt_state, opt_state_data)
+
+
+def graft_tree(node, data):
+    """Recursively graft `data` (nested dicts/lists from load_npz, where
+    tuples/NamedTuples were serialized positionally) onto the structure of
+    `node`. Missing/None entries keep the live value; leaf dtypes follow
+    the live leaf so optax count scalars stay exact."""
+    import jax.numpy as jnp
+    if isinstance(node, dict):
+        return {k: graft_tree(v, data.get(k) if isinstance(data, dict)
+                              else None) for k, v in node.items()}
+    if isinstance(node, (list, tuple)):
+        if isinstance(data, dict):  # _listify keeps sparse indices as dicts
+            data = [data.get(str(i)) for i in range(len(node))]
+        if not isinstance(data, (list, tuple)):
+            data = [None] * len(node)
+        data = list(data) + [None] * (len(node) - len(data))
+        kids = [graft_tree(v, data[i]) for i, v in enumerate(node)]
+        if isinstance(node, list):
+            return kids
+        if hasattr(node, "_fields"):  # NamedTuple (optax states)
+            return type(node)(*kids)
+        return tuple(kids)
+    if node is None or data is None or isinstance(data, (dict, list)):
+        return node
+    arr = np.asarray(data)
+    if not hasattr(node, "dtype") or np.shape(arr) != np.shape(node):
+        return node
+    out = jnp.asarray(arr).astype(node.dtype)
+    if hasattr(node, "sharding"):  # keep committed (e.g. tp) shardings
+        import jax
+        out = jax.device_put(out, node.sharding)
+    return out
+
 
 def _fil(tree):
     """Replace non-array leaves (e.g. optax count scalars are arrays already)."""

@@ -63,7 +63,26 @@ def train_pipeline(opt: Dict, max_iters: Optional[int] = None, use_mesh=True,
         latest = TrainState.latest_state(opt["path"]["training_states"])
         if latest:
             opt_state_data = state.resume(latest)
-            logger.info(f"resumed from {latest} at iter {state.iter}")
+            state.resume_optimizer(opt_state_data)
+            # reload the matching network snapshot (reference train.py:68-88
+            # pairs the .state file with its net_g_<iter>; resuming counters
+            # without weights would silently continue from random init)
+            from comfyui_keep_tpu.training.state import graft_tree
+            from comfyui_keep_tpu.utils.checkpoint import load_npz
+            net_path = os.path.join(opt["path"]["models"],
+                                    f"net_g_{state.iter}.npz")
+            if os.path.exists(net_path):
+                net = load_npz(net_path)
+                state.params = graft_tree(state.params, net.get("params"))
+                if state.ema_params is not None and "params_ema" in net:
+                    state.ema_params = graft_tree(state.ema_params,
+                                                  net["params_ema"])
+                logger.info(f"resumed from {latest} at iter {state.iter} "
+                            f"(weights + optimizer moments restored)")
+            else:
+                logger.warning(
+                    f"resume state {latest} has no matching {net_path}; "
+                    f"continuing with fresh weights")
 
     total_iter = max_iters or opt.get("train", {}).get("total_iter", 1000)
     save_freq = opt.get("logger", {}).get("save_checkpoint_freq", 1e9)

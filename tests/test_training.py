@@ -401,3 +401,95 @@ def test_gradient_accumulation(rng):
     assert not np.allclose(np.asarray(jax.tree.leaves(state.params)[0]),
                            jax.tree.leaves(p0)[0])
     assert np.isfinite(logs["l_pix"])
+
+
+def test_resume_restores_weights_and_optimizer(tmp_path, rng):
+    """Interrupt/resume equivalence: save at iter 2, rebuild the trainer
+    fresh, resume, take one more step — bitwise-equal to the uninterrupted
+    3-step run (weights AND Adam moments both restored; the reference's
+    resume_training restores optimizers, base_model.py)."""
+    from comfyui_keep_tpu.training.state import TrainState
+
+    def make(seed=0):
+        opt = {
+            "model_type": "SRModel",
+            "network_g": {"type": "MSRResNet", "num_feat": 8, "num_block": 1,
+                          "upscale": 2},
+            "train": {"pixel_opt": {"type": "L1Loss"},
+                      "optim_g": {"type": "Adam", "lr": 1e-3},
+                      "ema_decay": 0.99},
+        }
+        tr = SRTrainer(opt)
+        return tr, tr.make_state(jax.random.PRNGKey(seed))
+
+    batches = [{"lq": jnp.asarray(rng.random((2, 8, 8, 3), np.float32)),
+                "gt": jnp.asarray(rng.random((2, 16, 16, 3), np.float32))}
+               for _ in range(3)]
+
+    # uninterrupted 3-step run
+    tr, state = make()
+    for b in batches:
+        state, _ = tr.train_step(state, b, rng=jax.random.PRNGKey(7))
+    straight = jax.tree.map(np.asarray, state.params)
+
+    # 2 steps, save, fresh trainer, resume, 1 more step
+    tr1, s1 = make()
+    for b in batches[:2]:
+        s1, _ = tr1.train_step(s1, b, rng=jax.random.PRNGKey(7))
+    s1.save(str(tmp_path / "models"), str(tmp_path / "states"), 2)
+
+    tr2, s2 = make(seed=123)  # different init: restore must overwrite it
+    latest = TrainState.latest_state(str(tmp_path / "states"))
+    opt_data = s2.resume(latest)
+    s2.resume_optimizer(opt_data)
+    from comfyui_keep_tpu.training.state import graft_tree
+    from comfyui_keep_tpu.utils.checkpoint import load_npz
+    net = load_npz(str(tmp_path / "models" / "net_g_2.npz"))
+    s2.params = graft_tree(s2.params, net["params"])
+    s2.ema_params = graft_tree(s2.ema_params, net["params_ema"])
+    assert s2.iter == 2
+    s2, _ = tr2.train_step(s2, batches[2], rng=jax.random.PRNGKey(7))
+
+    for a, b in zip(jax.tree.leaves(straight), jax.tree.leaves(s2.params)):
+        np.testing.assert_allclose(np.asarray(a), np.asarray(b), atol=1e-7,
+                                   rtol=1e-6)
+
+
+def test_train_pipeline_auto_resume_loads_weights(tmp_path, rng):
+    """train_pipeline --auto_resume must reload net_g_<iter>.npz, not just
+    the iteration counter."""
+    import cv2
+    from comfyui_keep_tpu.training.train import train_pipeline
+    for sub, size in (("gt", 32), ("lq", 16)):
+        d = tmp_path / sub
+        d.mkdir()
+        for i in range(3):
+            cv2.imwrite(str(d / f"{i:03d}.png"),
+                        (rng.random((size, size, 3)) * 255).astype(np.uint8))
+    opt = {
+        "name": "resume_t", "is_train": True, "manual_seed": 0,
+        "model_type": "SRModel",
+        "network_g": {"type": "MSRResNet", "num_feat": 8, "num_block": 1,
+                      "upscale": 2},
+        "datasets": {"train": {
+            "type": "PairedImageDataset", "dataroot_gt": str(tmp_path / "gt"),
+            "dataroot_lq": str(tmp_path / "lq"), "gt_size": 16, "scale": 2,
+            "use_hflip": False, "use_rot": False, "batch_size_per_gpu": 1,
+        }},
+        "train": {"total_iter": 2, "pixel_opt": {"type": "L1Loss"},
+                  "optim_g": {"type": "Adam", "lr": 1e-3}},
+        "logger": {"print_freq": 10, "save_checkpoint_freq": 2},
+        "path": {"experiments_root": str(tmp_path / "exp"),
+                 "models": str(tmp_path / "exp/models"),
+                 "training_states": str(tmp_path / "exp/training_states"),
+                 "log": str(tmp_path / "exp"),
+                 "visualization": str(tmp_path / "exp/vis")},
+    }
+    state, _ = train_pipeline(opt, use_mesh=False)
+    saved = jax.tree.map(np.asarray, state.params)
+
+    opt2 = {**opt, "auto_resume": True}
+    state2, _ = train_pipeline(opt2, use_mesh=False)  # total_iter reached
+    assert state2.iter == 2
+    for a, b in zip(jax.tree.leaves(saved), jax.tree.leaves(state2.params)):
+        np.testing.assert_array_equal(np.asarray(a), np.asarray(b))
