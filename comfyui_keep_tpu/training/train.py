@@ -35,9 +35,25 @@ def create_train_val_loaders(opt, logger, num_devices=1):
         elif phase.startswith("val"):
             ds = build_dataset(dataset_opt)
             val_loaders.append(
-                build_dataloader(ds, {**dataset_opt, "phase": "val"}))
+                (dataset_opt.get("name", phase), dataset_opt.get("type", ""),
+                 build_dataloader(ds, {**dataset_opt, "phase": "val"})))
             logger.info(f"val dataset {dataset_opt['type']}: {len(ds)} items")
     return train_loader, val_loaders
+
+
+def run_validation(trainer, params, val_loaders, metrics_opt):
+    """Validate on every val loader (reference train.py validation hook):
+    video-style datasets through validate_videos, the rest per-image."""
+    from comfyui_keep_tpu.training.validation import (validate_images,
+                                                      validate_videos)
+    results = {}
+    fwd = lambda lq: trainer.forward(params, lq)
+    for name, ds_type, loader in val_loaders:
+        if ds_type.startswith(("Video", "VFHQ", "REDS", "Vimeo")):
+            results[name] = validate_videos(fwd, loader, metrics_opt)
+        else:
+            results[name] = validate_images(fwd, loader, metrics_opt)
+    return results
 
 
 def train_pipeline(opt: Dict, max_iters: Optional[int] = None, use_mesh=True,
@@ -87,6 +103,7 @@ def train_pipeline(opt: Dict, max_iters: Optional[int] = None, use_mesh=True,
     total_iter = max_iters or opt.get("train", {}).get("total_iter", 1000)
     save_freq = opt.get("logger", {}).get("save_checkpoint_freq", 1e9)
     print_freq = opt.get("logger", {}).get("print_freq", 100)
+    val_freq = opt.get("val", {}).get("val_freq")
     msg_logger = MessageLogger(opt, state.iter + 1)
     iter_timer, data_timer = AvgTimer(), AvgTimer()
 
@@ -125,6 +142,20 @@ def train_pipeline(opt: Dict, max_iters: Optional[int] = None, use_mesh=True,
             if state.iter % save_freq == 0:
                 state.save(opt["path"]["models"],
                            opt["path"]["training_states"], state.iter)
+            if val_loaders and val_freq and state.iter % val_freq == 0:
+                # EMA weights when tracked (sr_model.py validation uses
+                # net_g_ema); metrics land in the training log
+                vp = state.ema_params if state.ema_params is not None \
+                    else state.params
+                val_results = run_validation(
+                    trainer, vp, val_loaders,
+                    opt.get("val", {}).get("metrics", {}))
+                for name, res in val_results.items():
+                    logger.info(f"validation [{name}] @{state.iter}: " +
+                                ", ".join(f"{k}={v:.4f}"
+                                          for k, v in res.items()))
+                    logs.update({f"val/{name}/{k}": v
+                                 for k, v in res.items()})
             batch = prefetcher.next()
         epoch += 1
         state.epoch = epoch
@@ -136,8 +167,6 @@ def test_pipeline(opt: Dict, trainer_kwargs: Optional[Dict] = None):
     load weights from path.pretrain_network_g, run validation on every
     `test_*`/`val*` dataset and return {dataset_name: metrics}."""
     import jax
-    from comfyui_keep_tpu.training.validation import (validate_images,
-                                                      validate_videos)
     logger = get_root_logger()
     set_random_seed(opt.get("manual_seed", 0))
     trainer = build_model(opt, **(trainer_kwargs or {}))
@@ -148,20 +177,17 @@ def test_pipeline(opt: Dict, trainer_kwargs: Optional[Dict] = None):
         params = load_network_npz(ckpt)
         logger.info(f"loaded network weights from {ckpt}")
 
-    results = {}
-    metrics_opt = opt.get("val", {}).get("metrics", {})
+    loaders = []
     for phase, dataset_opt in sorted(opt["datasets"].items()):
         if not (phase.startswith("test") or phase.startswith("val")):
             continue
         ds = build_dataset(dataset_opt)
-        loader = DataLoader(ds, batch_size=1, drop_last=False)
         name = dataset_opt.get("name", phase)
         logger.info(f"testing {name} ({len(ds)} items)")
-        fwd = lambda lq: trainer.forward(params, lq)
-        if dataset_opt.get("type", "").startswith(("Video", "VFHQ", "REDS",
-                                                   "Vimeo")):
-            results[name] = validate_videos(fwd, loader, metrics_opt)
-        else:
-            results[name] = validate_images(fwd, loader, metrics_opt)
-        logger.info(f"{name}: {results[name]}")
+        loaders.append((name, dataset_opt.get("type", ""),
+                        DataLoader(ds, batch_size=1, drop_last=False)))
+    results = run_validation(trainer, params, loaders,
+                             opt.get("val", {}).get("metrics", {}))
+    for name, res in results.items():
+        logger.info(f"{name}: {res}")
     return results

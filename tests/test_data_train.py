@@ -438,3 +438,44 @@ def test_build_dataloader_phases(tmp_path, rng):
     import pytest as _pytest
     with _pytest.raises(ValueError):
         build_dataloader(ds, {"phase": "bogus"})
+
+
+def test_train_pipeline_validates_at_val_freq(tmp_path, rng):
+    """val datasets + val.val_freq must actually run validation during
+    training (reference train.py validation hook) — the metrics land in
+    the training log under val/<name>/<metric>."""
+    import cv2
+    from comfyui_keep_tpu.training.train import train_pipeline
+    for sub, size in (("gt", 32), ("lq", 16)):
+        d = tmp_path / sub
+        d.mkdir()
+        for i in range(3):
+            cv2.imwrite(str(d / f"{i:03d}.png"),
+                        (rng.random((size, size, 3)) * 255).astype(np.uint8))
+    ds_opt = {"type": "PairedImageDataset", "dataroot_gt": str(tmp_path / "gt"),
+              "dataroot_lq": str(tmp_path / "lq"), "scale": 2}
+    opt = {
+        "name": "val_t", "is_train": True, "manual_seed": 0,
+        "model_type": "SRModel",
+        "network_g": {"type": "MSRResNet", "num_feat": 8, "num_block": 1,
+                      "upscale": 2},
+        "datasets": {
+            "train": {**ds_opt, "gt_size": 16, "use_hflip": False,
+                      "use_rot": False, "batch_size_per_gpu": 1},
+            "val": {**ds_opt, "name": "tinyval"},
+        },
+        "train": {"total_iter": 2, "pixel_opt": {"type": "L1Loss"},
+                  "optim_g": {"type": "Adam", "lr": 1e-3}},
+        "val": {"val_freq": 2,
+                "metrics": {"psnr": {"type": "calculate_psnr",
+                                     "crop_border": 0}}},
+        "logger": {"print_freq": 10},
+        "path": {"experiments_root": str(tmp_path / "exp"),
+                 "models": str(tmp_path / "exp/models"),
+                 "training_states": str(tmp_path / "exp/training_states"),
+                 "log": str(tmp_path / "exp"),
+                 "visualization": str(tmp_path / "exp/vis")},
+    }
+    state, logs = train_pipeline(opt, use_mesh=False)
+    assert state.iter == 2
+    assert "val/tinyval/psnr" in logs and np.isfinite(logs["val/tinyval/psnr"])
