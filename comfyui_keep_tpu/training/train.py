@@ -104,7 +104,19 @@ def train_pipeline(opt: Dict, max_iters: Optional[int] = None, use_mesh=True,
     save_freq = opt.get("logger", {}).get("save_checkpoint_freq", 1e9)
     print_freq = opt.get("logger", {}).get("print_freq", 100)
     val_freq = opt.get("val", {}).get("val_freq")
-    msg_logger = MessageLogger(opt, state.iter + 1)
+    # tb/wandb writers (reference train.py init_tb_loggers: wandb first so
+    # sync_tensorboard captures the tb stream; both master-only)
+    tb_logger = None
+    logger_opt = opt.get("logger", {})
+    wandb_opt = logger_opt.get("wandb") or {}
+    if wandb_opt.get("project") is not None:
+        from comfyui_keep_tpu.utils.logger import init_wandb_logger
+        init_wandb_logger(opt)
+    if logger_opt.get("use_tb_logger"):
+        from comfyui_keep_tpu.utils.logger import init_tb_logger
+        tb_logger = init_tb_logger(
+            os.path.join(opt["path"].get("log", "."), "tb_logger"))
+    msg_logger = MessageLogger(opt, state.iter + 1, tb_logger)
     iter_timer, data_timer = AvgTimer(), AvgTimer()
 
     sharding = None
@@ -137,7 +149,8 @@ def train_pipeline(opt: Dict, max_iters: Optional[int] = None, use_mesh=True,
             iter_timer.record()
             if state.iter % print_freq == 0:
                 msg_logger({"iter": state.iter, "epoch": epoch,
-                            "lrs": [0.0], "time": iter_timer.get_avg_time(),
+                            "lrs": [trainer.current_lr(state.iter)],
+                            "time": iter_timer.get_avg_time(),
                             "data_time": data_timer.get_avg_time(), **logs})
             if state.iter % save_freq == 0:
                 state.save(opt["path"]["models"],

@@ -80,6 +80,15 @@ class BaseTrainer:
                     jax.tree.map(lambda v: jnp.asarray(v, jnp.float32), aux))
         return wrapped
 
+    def current_lr(self, it: int) -> float:
+        """Effective generator LR at iteration `it` (schedules return a
+        multiplier of the base LR — see build_optimizer/schedulers)."""
+        t = self.opt.get("train", {})
+        base = float(t.get("optim_g", {}).get("lr", t.get("lr", 0.0)))
+        if self.schedule is not None:
+            return base * float(self.schedule(it))
+        return base
+
     def _tp_axis(self):
         """Mesh axis name for tensor parallelism, if the mesh has one."""
         if self.mesh is not None and "model" in self.mesh.axis_names \

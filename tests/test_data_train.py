@@ -479,3 +479,47 @@ def test_train_pipeline_validates_at_val_freq(tmp_path, rng):
     state, logs = train_pipeline(opt, use_mesh=False)
     assert state.iter == 2
     assert "val/tinyval/psnr" in logs and np.isfinite(logs["val/tinyval/psnr"])
+
+
+def test_train_pipeline_tb_logger_and_lr(tmp_path, rng):
+    """logger.use_tb_logger must produce a real event file (it was a silent
+    no-op: the writers existed but the pipeline never created them), and
+    the logged LR must be the scheduled value, not a 0.0 placeholder."""
+    pytest.importorskip("torch.utils.tensorboard")
+    from comfyui_keep_tpu.training.train import train_pipeline
+    from comfyui_keep_tpu.training.trainers import SRTrainer
+    for sub, size in (("gt", 32), ("lq", 16)):
+        d = tmp_path / sub
+        d.mkdir()
+        for i in range(3):
+            cv2.imwrite(str(d / f"{i:03d}.png"),
+                        (rng.random((size, size, 3)) * 255).astype(np.uint8))
+    opt = {
+        "name": "tb_t", "is_train": True, "manual_seed": 0,
+        "model_type": "SRModel",
+        "network_g": {"type": "MSRResNet", "num_feat": 8, "num_block": 1,
+                      "upscale": 2},
+        "datasets": {"train": {
+            "type": "PairedImageDataset", "dataroot_gt": str(tmp_path / "gt"),
+            "dataroot_lq": str(tmp_path / "lq"), "gt_size": 16, "scale": 2,
+            "use_hflip": False, "use_rot": False, "batch_size_per_gpu": 1,
+        }},
+        "train": {"total_iter": 2, "pixel_opt": {"type": "L1Loss"},
+                  "optim_g": {"type": "Adam", "lr": 1e-3},
+                  "scheduler": {"type": "MultiStepLR", "milestones": [1],
+                                "gamma": 0.5}},
+        "logger": {"print_freq": 1, "use_tb_logger": True},
+        "path": {"experiments_root": str(tmp_path / "exp"),
+                 "models": str(tmp_path / "exp/models"),
+                 "training_states": str(tmp_path / "exp/training_states"),
+                 "log": str(tmp_path / "exp"),
+                 "visualization": str(tmp_path / "exp/vis")},
+    }
+    train_pipeline(opt, use_mesh=False)
+    tb_dir = tmp_path / "exp" / "tb_logger"
+    assert tb_dir.is_dir() and any(
+        f.name.startswith("events") for f in tb_dir.iterdir())
+    # scheduled LR: MultiStepLR multiplier after milestone 1 is 0.5
+    tr = SRTrainer(opt)
+    assert tr.current_lr(0) == pytest.approx(1e-3)
+    assert tr.current_lr(2) == pytest.approx(5e-4)

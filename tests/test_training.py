@@ -493,3 +493,27 @@ def test_train_pipeline_auto_resume_loads_weights(tmp_path, rng):
     assert state2.iter == 2
     for a, b in zip(jax.tree.leaves(saved), jax.tree.leaves(state2.params)):
         np.testing.assert_array_equal(np.asarray(a), np.asarray(b))
+
+
+def test_schedulers_trace_compatible():
+    """Schedules must accept the traced optax count inside the jitted train
+    step (int()/bisect raised ConcretizationTypeError before) and agree
+    with their concrete-step values."""
+    from comfyui_keep_tpu.training.schedulers import (
+        build_scheduler, with_warmup)
+    scheds = [
+        build_scheduler({"type": "MultiStepLR",
+                         "milestones": [3, 7, 9], "gamma": 0.5}),
+        build_scheduler({"type": "MultiStepRestartLR",
+                         "milestones": [2, 5], "gamma": 0.1,
+                         "restarts": [0, 6], "restart_weights": [1, 0.5]}),
+        build_scheduler({"type": "CosineAnnealingRestartLR",
+                         "periods": [4, 6], "restart_weights": [1, 0.7],
+                         "eta_min": 1e-7, "base_lr": 1e-4}),
+    ]
+    for sched in scheds:
+        for s in (sched, with_warmup(sched, 3)):
+            traced = jax.jit(lambda i: s(i))
+            for step in range(12):
+                np.testing.assert_allclose(float(traced(step)), s(step),
+                                           rtol=1e-5, atol=1e-8)
