@@ -316,6 +316,11 @@ class KEEPTrainer(BaseTrainer):
         from comfyui_keep_tpu.models.gmflow import flow_from_clip
         return flow_from_clip(self.gmflow_params, clip)
 
+    def forward(self, params, lq):
+        """Eval forward for validation/test (keep_model.py test(): net_g on
+        the lq clip with its flows)."""
+        return self.KEEP.apply(params, lq, flows=self._flows(lq), **self.cfg)
+
     def loss_fn(self, params, batch, rng):
         import jax
         import jax.numpy as jnp
@@ -681,6 +686,12 @@ class VideoRecurrentTrainer(BaseTrainer):
             batch = dict(batch)
             batch["_iter"] = np.asarray(state.iter + 1, np.int32)
         return super().train_step(state, batch, rng)
+
+    def forward(self, params, lq):
+        """Eval forward for validation/test (video_base_model.py test())."""
+        return self.arch.apply(params, lq, **{
+            k: v for k, v in self.net_cfg.items()
+            if k in ("num_feat", "mid_channels", "deformable_groups")})
 
     def loss_fn(self, params, batch, rng):
         if self.fix_flow_iter:

@@ -188,3 +188,41 @@ def test_realesrgan_feed_primitives_torch_parity(rng):
             ours = np.asarray(resize_torch(jnp.asarray(x), (oh, ow), mode))
             np.testing.assert_allclose(ours, ref.transpose(0, 2, 3, 1),
                                        atol=tol, rtol=1e-3)
+
+
+def test_keep_and_video_trainers_have_eval_forward(rng):
+    """run_validation / tools/test.py call trainer.forward — the KEEP and
+    video trainers must provide it (only the SR family did)."""
+    from comfyui_keep_tpu.models.vqgan import VQHQEncoder
+    from comfyui_keep_tpu.training.trainers import KEEPTrainer
+
+    tiny = dict(img_size=64, nf=32, ch_mult=(1, 2, 2), res_blocks=1,
+                attn_resolutions=(16,), codebook_size=32, emb_dim=32,
+                dim_embd=32, n_head=4, n_layers=1, latent_size=256,
+                cft_list=("32",), cfa_list=(), cfa_nhead=2, cfa_dim=8,
+                kalman_attn_head_dim=8, num_uncertainty_layers=1,
+                temp_reg_list=())
+    opt = {"model_type": "KEEPModel",
+           "network_g": {"type": "KEEP", **tiny,
+                         "fix_modules": ["quantize", "generator"]},
+           "train": {"pixel_opt": {"type": "L1Loss"},
+                     "optim_g": {"type": "Adam", "lr": 1e-4}}}
+    hq = VQHQEncoder.init(jax.random.PRNGKey(3), img_size=64, nf=32,
+                          ch_mult=(1, 2, 2), res_blocks=1,
+                          attn_resolutions=(16,), codebook_size=32,
+                          emb_dim=32)
+    tr = KEEPTrainer(opt, hq_vqgan_params=hq)
+    params = tr.init_params(jax.random.PRNGKey(0))
+    lq = jnp.asarray(rng.random((1, 2, 64, 64, 3), np.float32) - 0.5)
+    out = tr.forward(params, lq)
+    assert out.shape == lq.shape and np.isfinite(np.asarray(out)).all()
+
+    vopt = {"model_type": "VideoRecurrentModel",
+            "network_g": {"type": "BasicVSR", "num_feat": 8, "num_block": 1},
+            "train": {"pixel_opt": {"type": "CharbonnierLoss"},
+                      "optim_g": {"type": "Adam", "lr": 1e-4}}}
+    vtr = build_model(vopt)
+    vparams = vtr.init_params(jax.random.PRNGKey(1))
+    vlq = jnp.asarray(rng.random((1, 3, 64, 64, 3), np.float32))
+    vout = vtr.forward(vparams, vlq)
+    assert vout.shape == (1, 3, 256, 256, 3)
