@@ -41,18 +41,45 @@ def create_train_val_loaders(opt, logger, num_devices=1):
     return train_loader, val_loaders
 
 
-def run_validation(trainer, params, val_loaders, metrics_opt):
+def run_validation(trainer, params, val_loaders, metrics_opt, opt=None,
+                   current_iter=None):
     """Validate on every val loader (reference train.py validation hook):
-    video-style datasets through validate_videos, the rest per-image."""
+    video-style datasets through validate_videos, the rest per-image.
+    With val.save_img, restored images land in path.visualization using the
+    reference's layout (sr_model.py:220-231): train runs save
+    <vis>/<img_name>/<img_name>_<iter>.png, test runs
+    <vis>/<dataset>/<img_name>_<suffix-or-exp-name>.png."""
     from comfyui_keep_tpu.training.validation import (validate_images,
                                                       validate_videos)
+    opt = opt or {}
+    vis_dir = opt.get("path", {}).get("visualization")
+    save_img = bool(opt.get("val", {}).get("save_img")) and vis_dir
+
+    def make_save_fn(ds_name):
+        if not save_img:
+            return None
+
+        def save(img_bgr_u8, img_name):
+            import cv2
+            if opt.get("is_train") and current_iter is not None:
+                path = os.path.join(vis_dir, img_name,
+                                    f"{img_name}_{current_iter}.png")
+            else:
+                tag = opt.get("val", {}).get("suffix") or opt.get("name", "x")
+                path = os.path.join(vis_dir, ds_name, f"{img_name}_{tag}.png")
+            os.makedirs(os.path.dirname(path), exist_ok=True)
+            cv2.imwrite(path, img_bgr_u8)
+        return save
+
     results = {}
     fwd = lambda lq: trainer.forward(params, lq)
     for name, ds_type, loader in val_loaders:
         if ds_type.startswith(("Video", "VFHQ", "REDS", "Vimeo")):
-            results[name] = validate_videos(fwd, loader, metrics_opt)
+            results[name] = validate_videos(fwd, loader, metrics_opt,
+                                            save_fn=make_save_fn(name))
         else:
-            results[name] = validate_images(fwd, loader, metrics_opt)
+            results[name] = validate_images(fwd, loader, metrics_opt,
+                                            save_fn=make_save_fn(name))
     return results
 
 
@@ -162,7 +189,8 @@ def train_pipeline(opt: Dict, max_iters: Optional[int] = None, use_mesh=True,
                     else state.params
                 val_results = run_validation(
                     trainer, vp, val_loaders,
-                    opt.get("val", {}).get("metrics", {}))
+                    opt.get("val", {}).get("metrics", {}),
+                    opt=opt, current_iter=state.iter)
                 for name, res in val_results.items():
                     logger.info(f"validation [{name}] @{state.iter}: " +
                                 ", ".join(f"{k}={v:.4f}"
@@ -200,7 +228,7 @@ def test_pipeline(opt: Dict, trainer_kwargs: Optional[Dict] = None):
         loaders.append((name, dataset_opt.get("type", ""),
                         DataLoader(ds, batch_size=1, drop_last=False)))
     results = run_validation(trainer, params, loaders,
-                             opt.get("val", {}).get("metrics", {}))
+                             opt.get("val", {}).get("metrics", {}), opt=opt)
     for name, res in results.items():
         logger.info(f"{name}: {res}")
     return results

@@ -19,12 +19,24 @@ def _to_u8_255(img01):
     return (np.clip(np.asarray(img01, np.float32), 0, 1) * 255.0).round()
 
 
+def _img_name(batch, b, i):
+    import os
+    paths = batch.get("lq_path") or batch.get("gt_path")
+    if paths:
+        p = paths[b] if isinstance(paths, (list, tuple)) else paths
+        return os.path.splitext(os.path.basename(str(p)))[0]
+    return f"img_{i}_{b}"
+
+
 def validate_images(forward_fn: Callable, loader, metrics_opt: Dict[str, Dict],
-                    rank: int = 0, world: int = 1) -> Dict[str, float]:
+                    rank: int = 0, world: int = 1,
+                    save_fn: Optional[Callable] = None) -> Dict[str, float]:
     """Single-image validation: forward each lq, compute metrics vs gt.
 
     forward_fn(lq (1,H,W,C) [0,1]) -> sr (1,H',W',C); metrics_opt:
     {'psnr': {'type': 'calculate_psnr', 'crop_border': 4, ...}, ...}.
+    save_fn(img_bgr_u8, img_name) writes each restored image
+    (sr_model.py:220-231 save_img).
     """
     totals = defaultdict(float)
     count = 0
@@ -33,10 +45,13 @@ def validate_images(forward_fn: Callable, loader, metrics_opt: Dict[str, Dict],
             continue
         sr = np.asarray(forward_fn(batch["lq"]))
         gt = batch.get("gt")
-        if gt is None:
-            continue
         for b in range(sr.shape[0]):
-            data = {"img": _to_u8_255(sr[b][..., ::-1]),
+            sr_bgr = _to_u8_255(sr[b][..., ::-1])
+            if save_fn is not None:
+                save_fn(sr_bgr.astype(np.uint8), _img_name(batch, b, i))
+            if gt is None:
+                continue
+            data = {"img": sr_bgr,
                     "img2": _to_u8_255(np.asarray(gt)[b][..., ::-1])}
             for name, opt in metrics_opt.items():
                 totals[name] += calculate_metric(data, opt)
@@ -45,7 +60,8 @@ def validate_images(forward_fn: Callable, loader, metrics_opt: Dict[str, Dict],
 
 
 def validate_videos(forward_fn: Callable, loader, metrics_opt: Dict[str, Dict],
-                    rank: int = 0, world: int = 1):
+                    rank: int = 0, world: int = 1,
+                    save_fn: Optional[Callable] = None):
     """Per-clip-folder video validation (video_recurrent_model.py:66-174):
     each process takes a strided subset of folders (padded so every rank
     runs the same count), per-frame metrics accumulate per folder.
@@ -71,7 +87,10 @@ def validate_videos(forward_fn: Callable, loader, metrics_opt: Dict[str, Dict],
         acc = defaultdict(float)
         t = sr.shape[1]
         for f in range(t):
-            data = {"img": _to_u8_255(sr[0, f][..., ::-1]),
+            sr_bgr = _to_u8_255(sr[0, f][..., ::-1])
+            if save_fn is not None:  # video_base_model.py per-frame saves
+                save_fn(sr_bgr.astype(np.uint8), f"{folder}/{f:08d}")
+            data = {"img": sr_bgr,
                     "img2": _to_u8_255(gt[0, f][..., ::-1])}
             for name, opt in metrics_opt.items():
                 acc[name] += calculate_metric(data, opt)

@@ -466,7 +466,7 @@ def test_train_pipeline_validates_at_val_freq(tmp_path, rng):
         },
         "train": {"total_iter": 2, "pixel_opt": {"type": "L1Loss"},
                   "optim_g": {"type": "Adam", "lr": 1e-3}},
-        "val": {"val_freq": 2,
+        "val": {"val_freq": 2, "save_img": True,
                 "metrics": {"psnr": {"type": "calculate_psnr",
                                      "crop_border": 0}}},
         "logger": {"print_freq": 10},
@@ -479,6 +479,9 @@ def test_train_pipeline_validates_at_val_freq(tmp_path, rng):
     state, logs = train_pipeline(opt, use_mesh=False)
     assert state.iter == 2
     assert "val/tinyval/psnr" in logs and np.isfinite(logs["val/tinyval/psnr"])
+    # save_img: reference layout <vis>/<img_name>/<img_name>_<iter>.png
+    saved = tmp_path / "exp" / "vis" / "000" / "000_2.png"
+    assert saved.exists(), "val.save_img must write restored images"
 
 
 def test_train_pipeline_tb_logger_and_lr(tmp_path, rng):
