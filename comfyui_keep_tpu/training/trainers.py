@@ -429,6 +429,13 @@ class KEEPGANTrainer(KEEPTrainer):
         self.d_opt_state = self.tx_d.init(self.d_params)
         return state
 
+    def train_step(self, state, batch, rng=None):
+        """train_pipeline entry point: dispatch to the g/d alternation
+        (without this the GAN model types would silently train generator-
+        only through BaseTrainer.train_step)."""
+        return self.gan_train_step(state, batch,
+                                   current_iter=state.iter + 1, rng=rng)
+
     def gan_train_step(self, state, batch, current_iter, rng=None):
         """One g/d alternation (keep_gan_model.py:262-296): generator update
         with GAN term once current_iter >= net_d_start_iter, then a
@@ -520,6 +527,12 @@ class SRGANTrainer(SRTrainer):
             "optim_d", {"type": "Adam", "lr": 1e-4})), schedule=self.schedule)
         self.d_opt_state = self.tx_d.init(self.d_params)
         return state
+
+    def train_step(self, state, batch, rng=None):
+        """train_pipeline entry point: dispatch to the g/d alternation
+        (without this the GAN model types would silently train generator-
+        only through BaseTrainer.train_step)."""
+        return self.gan_train_step(state, batch, current_iter=state.iter + 1)
 
     def gan_train_step(self, state, batch, current_iter):
         import jax
@@ -849,6 +862,11 @@ class StyleGAN2Trainer(BaseTrainer):
             params, styles, self.out_size,
             num_style_feat=self.num_style_feat, randomize_noise=True, rng=rng)
         return img
+
+    def train_step(self, state, batch, rng=None):
+        """train_pipeline entry point: dispatch to the g/d alternation."""
+        return self.gan_train_step(state, batch,
+                                   current_iter=state.iter + 1, rng=rng)
 
     def gan_train_step(self, state, batch, current_iter, rng=None):
         """One alternation (stylegan2_model.py:185-254): d step (+lazy R1),

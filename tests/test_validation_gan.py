@@ -226,3 +226,33 @@ def test_keep_and_video_trainers_have_eval_forward(rng):
     vlq = jnp.asarray(rng.random((1, 3, 64, 64, 3), np.float32))
     vout = vtr.forward(vparams, vlq)
     assert vout.shape == (1, 3, 256, 256, 3)
+
+
+def test_gan_trainers_dispatch_from_train_step(rng):
+    """train_pipeline only calls train_step — the GAN trainers must route
+    it to their g/d alternation (they previously fell through to
+    BaseTrainer's generator-only step: no GAN loss, frozen discriminator)."""
+    opt = {
+        "model_type": "SRGANModel",
+        "network_g": {"type": "MSRResNet", "num_feat": 8, "num_block": 1,
+                      "upscale": 2},
+        "network_d": {"type": "UNetDiscriminatorSN", "num_in_ch": 3,
+                      "num_feat": 8},
+        "train": {"pixel_opt": {"type": "L1Loss"},
+                  "gan_opt": {"type": "GANLoss", "gan_type": "vanilla",
+                              "loss_weight": 0.1},
+                  "optim_g": {"type": "Adam", "lr": 1e-4},
+                  "optim_d": {"type": "Adam", "lr": 1e-4}},
+    }
+    tr = build_model(opt)
+    state = tr.make_state(jax.random.PRNGKey(0))
+    batch = {"lq": jnp.asarray(rng.random((1, 16, 16, 3), dtype=np.float32)),
+             "gt": jnp.asarray(rng.random((1, 32, 32, 3), dtype=np.float32))}
+    d0 = jax.tree.map(np.asarray, tr.d_params)
+    state, logs = tr.train_step(state, batch)
+    assert {"l_g_gan", "l_d"} <= set(logs) and state.iter == 1
+    # the discriminator actually trained
+    moved = any(not np.allclose(a, b) for a, b in
+                zip(jax.tree.leaves(d0), jax.tree.leaves(
+                    jax.tree.map(np.asarray, tr.d_params))))
+    assert moved
