@@ -41,13 +41,17 @@ def multi_step_restart_lr(milestones: Sequence[int], gamma: float = 0.1,
                  ).astype(jnp.float32)
             return weight * gamma ** n
         # cumulative: torch applies gamma at each milestone to the running lr;
-        # equivalent closed form with restart reset
+        # equivalent closed form with restart reset. Iterate in sorted-restart
+        # order (rs_a/ws_a) so the MOST RECENT restart <= step wins even for
+        # unsorted input — the tracer path above uses the same sorted arrays,
+        # and the two paths must agree (the in-jit schedule is the applied LR,
+        # the concrete path is the logged one).
         step = int(step)
         last_restart = 0
         weight = 1.0
-        for r, w in zip(restarts, restart_weights):
+        for r, w in zip(rs_a.tolist(), ws_a.tolist()):
             if step >= r:
-                last_restart, weight = r, w
+                last_restart, weight = r, float(w)
         n = bisect_right(milestones, step) - bisect_right(milestones, last_restart)
         return weight * gamma ** n
 

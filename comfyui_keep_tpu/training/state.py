@@ -28,10 +28,17 @@ class TrainState:
     ema_params: Any = None
     epoch: int = 0
     iter: int = 0
+    resume_extra: Any = None  # set by resume(): trainer extra state (GAN d)
 
     def save(self, net_dir: str, state_dir: str, current_iter: int,
-             retry: int = 3):
-        """Networks + training state, with IO retry (base_model.py:237-252)."""
+             retry: int = 3, extra=None):
+        """Networks + training state, with IO retry (base_model.py:237-252).
+
+        `extra` is a trainer-owned pytree stored alongside the optimizer
+        state — the GAN trainers pass {d_params, d_opt_state} so a resumed
+        adversarial run keeps its trained discriminator (the reference saves
+        net_d_<iter>.pth + its optimizer in the .state file,
+        base_model.py:207-252)."""
         import jax
         os.makedirs(net_dir, exist_ok=True)
         os.makedirs(state_dir, exist_ok=True)
@@ -40,14 +47,17 @@ class TrainState:
             host["params_ema"] = jax.tree.map(np.asarray, self.ema_params)
         net_path = os.path.join(net_dir, f"net_g_{current_iter}.npz")
         state_path = os.path.join(state_dir, f"{current_iter}.state.npz")
+        state_tree = {
+            "opt_state": jax.tree.map(np.asarray, _fil(self.opt_state)),
+            "meta": {"epoch": np.asarray(self.epoch),
+                     "iter": np.asarray(current_iter)},
+        }
+        if extra is not None:
+            state_tree["extra"] = jax.tree.map(np.asarray, extra)
         for attempt in range(retry):
             try:
                 save_npz(net_path, host)
-                save_npz(state_path, {
-                    "opt_state": jax.tree.map(np.asarray, _fil(self.opt_state)),
-                    "meta": {"epoch": np.asarray(self.epoch),
-                             "iter": np.asarray(current_iter)},
-                })
+                save_npz(state_path, state_tree)
                 return net_path, state_path
             except IOError:  # pragma: no cover
                 if attempt == retry - 1:
@@ -69,6 +79,9 @@ class TrainState:
         data = load_npz(state_path)
         self.epoch = int(np.asarray(data["meta"]["epoch"]))
         self.iter = int(np.asarray(data["meta"]["iter"]))
+        # trainer-owned extra state (GAN discriminator + its optimizer);
+        # train_pipeline hands it to trainer.load_extra_state after resume
+        self.resume_extra = data.get("extra")
         return data.get("opt_state")
 
     def resume_optimizer(self, opt_state_data):
@@ -80,32 +93,45 @@ class TrainState:
             self.opt_state = graft_tree(self.opt_state, opt_state_data)
 
 
-def graft_tree(node, data):
+def graft_tree(node, data, stats=None):
     """Recursively graft `data` (nested dicts/lists from load_npz, where
     tuples/NamedTuples were serialized positionally) onto the structure of
     `node`. Missing/None entries keep the live value; leaf dtypes follow
-    the live leaf so optax count scalars stay exact."""
+    the live leaf so optax count scalars stay exact.
+
+    `stats` (optional dict) accumulates {"loaded": n, "kept": n} so callers
+    can detect a partial graft — a resume where any array leaf silently kept
+    its random init (missing key / shape mismatch) must be surfaced, not
+    logged as a clean restore (base_model.py:254-287 warns per key)."""
     import jax.numpy as jnp
+
+    def _keep(n):
+        if stats is not None and hasattr(n, "dtype") and np.ndim(n) > 0:
+            stats["kept"] = stats.get("kept", 0) + 1
+        return n
+
     if isinstance(node, dict):
         return {k: graft_tree(v, data.get(k) if isinstance(data, dict)
-                              else None) for k, v in node.items()}
+                              else None, stats) for k, v in node.items()}
     if isinstance(node, (list, tuple)):
         if isinstance(data, dict):  # _listify keeps sparse indices as dicts
             data = [data.get(str(i)) for i in range(len(node))]
         if not isinstance(data, (list, tuple)):
             data = [None] * len(node)
         data = list(data) + [None] * (len(node) - len(data))
-        kids = [graft_tree(v, data[i]) for i, v in enumerate(node)]
+        kids = [graft_tree(v, data[i], stats) for i, v in enumerate(node)]
         if isinstance(node, list):
             return kids
         if hasattr(node, "_fields"):  # NamedTuple (optax states)
             return type(node)(*kids)
         return tuple(kids)
     if node is None or data is None or isinstance(data, (dict, list)):
-        return node
+        return _keep(node)
     arr = np.asarray(data)
     if not hasattr(node, "dtype") or np.shape(arr) != np.shape(node):
-        return node
+        return _keep(node)
+    if stats is not None:
+        stats["loaded"] = stats.get("loaded", 0) + 1
     out = jnp.asarray(arr).astype(node.dtype)
     if hasattr(node, "sharding"):  # keep committed (e.g. tp) shardings
         import jax

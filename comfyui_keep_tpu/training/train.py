@@ -45,12 +45,22 @@ def run_validation(trainer, params, val_loaders, metrics_opt, opt=None,
                    current_iter=None):
     """Validate on every val loader (reference train.py validation hook):
     video-style datasets through validate_videos, the rest per-image.
+
+    Returns {dataset_name: {metric: value}} — for video datasets the
+    per-folder averages (validate_videos' second return value); the
+    per-folder detail is logged at info level
+    (video_base_model.py:150-160 logs per-folder then the average).
+
     With val.save_img, restored images land in path.visualization using the
-    reference's layout (sr_model.py:220-231): train runs save
+    reference's layout: images — train runs save
     <vis>/<img_name>/<img_name>_<iter>.png, test runs
-    <vis>/<dataset>/<img_name>_<suffix-or-exp-name>.png."""
+    <vis>/<dataset>/<img_name>_<suffix-or-exp-name>.png
+    (sr_model.py:220-231); video frames (img_name carries 'folder/frame') —
+    <vis>/<dataset>/<folder>/<frame>_<iter-or-tag>.png
+    (video_base_model.py:74-85)."""
     from comfyui_keep_tpu.training.validation import (validate_images,
                                                       validate_videos)
+    logger = get_root_logger()
     opt = opt or {}
     vis_dir = opt.get("path", {}).get("visualization")
     save_img = bool(opt.get("val", {}).get("save_img")) and vis_dir
@@ -62,10 +72,17 @@ def run_validation(trainer, params, val_loaders, metrics_opt, opt=None,
         def save(img_bgr_u8, img_name):
             import cv2
             if opt.get("is_train") and current_iter is not None:
-                path = os.path.join(vis_dir, img_name,
-                                    f"{img_name}_{current_iter}.png")
+                tag = str(current_iter)
             else:
                 tag = opt.get("val", {}).get("suffix") or opt.get("name", "x")
+            if "/" in img_name:  # video frame: 'folder/00000042'
+                folder, frame = img_name.rsplit("/", 1)
+                path = os.path.join(vis_dir, ds_name, folder,
+                                    f"{frame}_{tag}.png")
+            elif opt.get("is_train") and current_iter is not None:
+                path = os.path.join(vis_dir, img_name,
+                                    f"{img_name}_{tag}.png")
+            else:
                 path = os.path.join(vis_dir, ds_name, f"{img_name}_{tag}.png")
             os.makedirs(os.path.dirname(path), exist_ok=True)
             cv2.imwrite(path, img_bgr_u8)
@@ -75,8 +92,12 @@ def run_validation(trainer, params, val_loaders, metrics_opt, opt=None,
     fwd = lambda lq: trainer.forward(params, lq)
     for name, ds_type, loader in val_loaders:
         if ds_type.startswith(("Video", "VFHQ", "REDS", "Vimeo")):
-            results[name] = validate_videos(fwd, loader, metrics_opt,
-                                            save_fn=make_save_fn(name))
+            per_folder, avg = validate_videos(fwd, loader, metrics_opt,
+                                              save_fn=make_save_fn(name))
+            for folder, fm in per_folder.items():
+                logger.info(f"  [{name}] {folder}: " + ", ".join(
+                    f"{k}={v:.4f}" for k, v in fm.items()))
+            results[name] = avg
         else:
             results[name] = validate_images(fwd, loader, metrics_opt,
                                             save_fn=make_save_fn(name))
@@ -116,12 +137,30 @@ def train_pipeline(opt: Dict, max_iters: Optional[int] = None, use_mesh=True,
                                     f"net_g_{state.iter}.npz")
             if os.path.exists(net_path):
                 net = load_npz(net_path)
-                state.params = graft_tree(state.params, net.get("params"))
+                stats = {}
+                state.params = graft_tree(state.params, net.get("params"),
+                                          stats=stats)
                 if state.ema_params is not None and "params_ema" in net:
                     state.ema_params = graft_tree(state.ema_params,
-                                                  net["params_ema"])
-                logger.info(f"resumed from {latest} at iter {state.iter} "
-                            f"(weights + optimizer moments restored)")
+                                                  net["params_ema"],
+                                                  stats=stats)
+                # a partial graft means some leaves silently kept random
+                # init (missing key / shape mismatch vs the checkpoint) —
+                # surface it (base_model.py:254-287 warns per key)
+                if stats.get("kept", 0):
+                    logger.warning(
+                        f"resumed from {latest} at iter {state.iter} but "
+                        f"{stats['kept']} param leaves had no matching "
+                        f"checkpoint entry (kept init); {stats.get('loaded', 0)}"
+                        f" restored — check the network config vs {net_path}")
+                else:
+                    logger.info(
+                        f"resumed from {latest} at iter {state.iter} "
+                        f"({stats.get('loaded', 0)} param leaves + optimizer "
+                        f"moments restored)")
+                # trainer-owned extra state (GAN discriminator + optimizer)
+                if hasattr(trainer, "load_extra_state"):
+                    trainer.load_extra_state(state.resume_extra)
             else:
                 logger.warning(
                     f"resume state {latest} has no matching {net_path}; "
@@ -181,10 +220,16 @@ def train_pipeline(opt: Dict, max_iters: Optional[int] = None, use_mesh=True,
                             "data_time": data_timer.get_avg_time(), **logs})
             if state.iter % save_freq == 0:
                 state.save(opt["path"]["models"],
-                           opt["path"]["training_states"], state.iter)
+                           opt["path"]["training_states"], state.iter,
+                           extra=trainer.extra_state()
+                           if hasattr(trainer, "extra_state") else None)
             if val_loaders and val_freq and state.iter % val_freq == 0:
                 # EMA weights when tracked (sr_model.py validation uses
-                # net_g_ema); metrics land in the training log
+                # net_g_ema); metrics land in the training log AND go to
+                # the tb/wandb stream directly (sr_model.py:264
+                # tb_logger.add_scalar(f'metrics/{ds}/{metric}')) — the
+                # periodic msg_logger call already ran this iteration, so
+                # merging into `logs` alone would never reach the writers
                 vp = state.ema_params if state.ema_params is not None \
                     else state.params
                 val_results = run_validation(
@@ -195,6 +240,10 @@ def train_pipeline(opt: Dict, max_iters: Optional[int] = None, use_mesh=True,
                     logger.info(f"validation [{name}] @{state.iter}: " +
                                 ", ".join(f"{k}={v:.4f}"
                                           for k, v in res.items()))
+                    for k, v in res.items():
+                        if tb_logger is not None:
+                            tb_logger.add_scalar(f"metrics/{name}/{k}", v,
+                                                 state.iter)
                     logs.update({f"val/{name}/{k}": v
                                  for k, v in res.items()})
             batch = prefetcher.next()

@@ -80,13 +80,33 @@ class BaseTrainer:
                     jax.tree.map(lambda v: jnp.asarray(v, jnp.float32), aux))
         return wrapped
 
+    def _accum_steps(self) -> int:
+        return int(self.opt.get("train", {}).get("accumulate_steps", 1))
+
+    def _wrap_accum(self, tx):
+        """train.accumulate_steps: k micro-batches per optimizer step (grads
+        averaged by optax.MultiSteps; params/LR schedule advance once per
+        window). Large effective batches without the HBM of a large batch —
+        a TPU-first extension, no reference equivalent. Every
+        make_optimizer override must end with this wrap, or the option is a
+        silent no-op for that model type."""
+        accum = self._accum_steps()
+        if accum > 1:
+            import optax
+            tx = optax.MultiSteps(tx, every_k_schedule=accum)
+        return tx
+
     def current_lr(self, it: int) -> float:
         """Effective generator LR at iteration `it` (schedules return a
-        multiplier of the base LR — see build_optimizer/schedulers)."""
+        multiplier of the base LR — see build_optimizer/schedulers). Under
+        accumulate_steps=k the schedule inside the optimizer advances once
+        per k micro-batches (MultiSteps inner count), so the logged position
+        is it // k — otherwise the logged LR decays k times faster than the
+        applied one."""
         t = self.opt.get("train", {})
         base = float(t.get("optim_g", {}).get("lr", t.get("lr", 0.0)))
         if self.schedule is not None:
-            return base * float(self.schedule(it))
+            return base * float(self.schedule(it // self._accum_steps()))
         return base
 
     def _tp_axis(self):
@@ -118,15 +138,7 @@ class BaseTrainer:
         frozen = tuple(self.opt.get("network_g", {}).get("fix_modules", ()) or ())
         if frozen:
             tx = masked_optimizer(tx, params, frozen)
-        # train.accumulate_steps: k micro-batches per optimizer step (grads
-        # averaged by optax.MultiSteps; params/LR schedule advance once per
-        # window). Large effective batches without the HBM of a large batch —
-        # a TPU-first extension, no reference equivalent.
-        accum = int(train_opt.get("accumulate_steps", 1))
-        if accum > 1:
-            import optax
-            tx = optax.MultiSteps(tx, every_k_schedule=accum)
-        return tx
+        return self._wrap_accum(tx)
 
     def train_step(self, state: TrainState, batch, rng=None):
         import jax
@@ -288,7 +300,7 @@ class KEEPTrainer(BaseTrainer):
                              schedule=self.schedule)
         if self.fix_modules:
             tx = masked_optimizer(tx, params, self.fix_modules)
-        return tx
+        return self._wrap_accum(tx)
 
     def _gt_indices(self, gt):
         """Frozen VQHQEncoder top-1 codebook indices of the GT frames."""
@@ -322,6 +334,13 @@ class KEEPTrainer(BaseTrainer):
         return self.KEEP.apply(params, lq, flows=self._flows(lq), **self.cfg)
 
     def loss_fn(self, params, batch, rng):
+        total, loss_dict, _ = self._loss_outs(params, batch, rng)
+        return total, loss_dict
+
+    def _loss_outs(self, params, batch, rng):
+        """(total, loss_dict, outs) — the GAN subclass needs the restored
+        frames for the adversarial term, and re-running KEEP.apply for them
+        would double the generator forward per step."""
         import jax
         import jax.numpy as jnp
         import optax
@@ -401,7 +420,7 @@ class KEEPTrainer(BaseTrainer):
                 loss_dict["l_percep"] = res
 
         loss_dict["l_total"] = total
-        return total, loss_dict
+        return total, loss_dict, outs
 
 
 @MODEL_REGISTRY.register(name="KEEPGANModel")
@@ -429,6 +448,25 @@ class KEEPGANTrainer(KEEPTrainer):
         self.d_opt_state = self.tx_d.init(self.d_params)
         return state
 
+    def extra_state(self):
+        """Trainer-owned checkpoint extra: the discriminator + its optimizer
+        (the reference saves net_d_<iter>.pth and its optimizer in the
+        .state file, base_model.py:207-252 — without this a resumed GAN run
+        pairs a trained generator with a fresh random discriminator)."""
+        return {"d_params": self.d_params, "d_opt_state": self.d_opt_state}
+
+    def load_extra_state(self, data):
+        from comfyui_keep_tpu.training.state import graft_tree
+        from comfyui_keep_tpu.utils.logger import get_root_logger
+        if not data:
+            get_root_logger().warning(
+                "resume state has no discriminator snapshot; the GAN "
+                "discriminator continues from fresh init")
+            return
+        self.d_params = graft_tree(self.d_params, data.get("d_params"))
+        self.d_opt_state = graft_tree(self.d_opt_state,
+                                      data.get("d_opt_state"))
+
     def train_step(self, state, batch, rng=None):
         """train_pipeline entry point: dispatch to the g/d alternation
         (without this the GAN model types would silently train generator-
@@ -436,24 +474,24 @@ class KEEPGANTrainer(KEEPTrainer):
         return self.gan_train_step(state, batch,
                                    current_iter=state.iter + 1, rng=rng)
 
-    def gan_train_step(self, state, batch, current_iter, rng=None):
-        """One g/d alternation (keep_gan_model.py:262-296): generator update
-        with GAN term once current_iter >= net_d_start_iter, then a
-        discriminator update on (gt, output)."""
+    def _gan_step_fns(self, use_gan):
+        """Jitted g and d updates, cached per use_gan variant — the training
+        hot loop must run as compiled programs, not op-by-op dispatch (the
+        generator-only BaseTrainer.train_step is jitted; the adversarial
+        path gets the same treatment)."""
+        if not hasattr(self, "_gan_jit_cache"):
+            self._gan_jit_cache = {}
+        key = bool(use_gan)
+        if key in self._gan_jit_cache:
+            return self._gan_jit_cache[key]
         import jax
         import optax
-
-        use_gan = self.cri_gan is not None and current_iter >= self.net_d_start_iter
-        rng = rng if rng is not None else jax.random.PRNGKey(current_iter)
 
         def g_loss(params, d_params, batch, rng):
             params = self._cast_compute(params)       # bf16 compute path
             d_params = self._cast_compute(d_params)   # (identity when off);
             batch = self._cast_compute(batch)         # grads exit f32 via the
-            total, loss_dict = self.loss_fn(params, batch, rng)  # cast VJP
-            flows = self._flows(batch["lq"]) if self.gmflow_params is not None else None
-            outs = self.KEEP.apply(params, batch["lq"], flows=flows,
-                                   detach_16=True, **self.cfg)
+            total, loss_dict, outs = self._loss_outs(params, batch, rng)
             if use_gan:
                 fake_pred = self.disc.apply(d_params, outs)
                 l_gan = self.cri_gan(fake_pred, True, is_disc=False)
@@ -461,26 +499,16 @@ class KEEPGANTrainer(KEEPTrainer):
                 loss_dict["l_g_gan"] = l_gan
             return total, (loss_dict, outs)
 
-        (loss, (loss_dict, outs)), grads = jax.value_and_grad(
-            g_loss, has_aux=True)(state.params, self.d_params, batch, rng)
-        updates, state.opt_state = self.tx.update(grads, state.opt_state,
-                                                  state.params)
-        state.params = optax.apply_updates(state.params, updates)
-        if state.ema_params is not None:
-            state.ema_params = ema_update(state.ema_params, state.params,
-                                          self.ema_decay)
-        if use_gan:
-            self.d_params, self.d_opt_state, d_logs = self.d_train_step(
-                self.d_params, self.d_opt_state, batch["gt"], outs)
-            loss_dict.update(d_logs)
-        state.iter += 1
-        return state, {k: float(v) for k, v in loss_dict.items()}
+        def g_step(params, opt_state, ema, d_params, batch, rng):
+            (_, (loss_dict, outs)), grads = jax.value_and_grad(
+                g_loss, has_aux=True)(params, d_params, batch, rng)
+            updates, opt_state = self.tx.update(grads, opt_state, params)
+            params = optax.apply_updates(params, updates)
+            if ema is not None:
+                ema = ema_update(ema, params, self.ema_decay)
+            return params, opt_state, ema, loss_dict, outs
 
-    def d_train_step(self, d_params, d_opt_state, real, fake):
-        import jax
-        import optax
-
-        def d_loss(dp):
+        def d_loss(dp, real, fake):
             dp = self._cast_compute(dp)
             real_pred = self.disc.apply(dp, self._cast_compute(real))
             fake_pred = self.disc.apply(
@@ -489,9 +517,44 @@ class KEEPGANTrainer(KEEPTrainer):
             l_fake = self.cri_gan(fake_pred, False, is_disc=True)
             return l_real + l_fake, (l_real, l_fake)
 
-        (loss, (lr_, lf_)), grads = jax.value_and_grad(d_loss, has_aux=True)(d_params)
-        updates, d_opt_state = self.tx_d.update(grads, d_opt_state, d_params)
-        d_params = optax.apply_updates(d_params, updates)
+        def d_step(d_params, d_opt_state, real, fake):
+            (loss, (lr_, lf_)), grads = jax.value_and_grad(
+                d_loss, has_aux=True)(d_params, real, fake)
+            updates, d_opt_state = self.tx_d.update(grads, d_opt_state,
+                                                    d_params)
+            d_params = optax.apply_updates(d_params, updates)
+            return d_params, d_opt_state, (loss, lr_, lf_)
+
+        fns = (jax.jit(g_step), jax.jit(d_step))
+        self._gan_jit_cache[key] = fns
+        return fns
+
+    def gan_train_step(self, state, batch, current_iter, rng=None):
+        """One g/d alternation (keep_gan_model.py:262-296): generator update
+        with GAN term once current_iter >= net_d_start_iter, then a
+        discriminator update on (gt, output)."""
+        import jax
+
+        use_gan = self.cri_gan is not None and current_iter >= self.net_d_start_iter
+        rng = rng if rng is not None else jax.random.PRNGKey(current_iter)
+        g_step, d_step = self._gan_step_fns(use_gan)
+
+        state.params, state.opt_state, state.ema_params, loss_dict, outs = \
+            g_step(state.params, state.opt_state, state.ema_params,
+                   self.d_params, batch, rng)
+        loss_dict = dict(loss_dict)
+        if use_gan:
+            self.d_params, self.d_opt_state, (ld, lr_, lf_) = d_step(
+                self.d_params, self.d_opt_state, batch["gt"], outs)
+            loss_dict.update({"l_d": ld, "l_d_real": lr_, "l_d_fake": lf_})
+        state.iter += 1
+        return state, {k: float(v) for k, v in loss_dict.items()}
+
+    def d_train_step(self, d_params, d_opt_state, real, fake):
+        """Standalone discriminator update (kept for direct callers/tests)."""
+        _, d_step = self._gan_step_fns(True)
+        d_params, d_opt_state, (loss, lr_, lf_) = d_step(
+            d_params, d_opt_state, real, fake)
         return d_params, d_opt_state, {"l_d": float(loss),
                                        "l_d_real": float(lr_),
                                        "l_d_fake": float(lf_)}
@@ -528,18 +591,36 @@ class SRGANTrainer(SRTrainer):
         self.d_opt_state = self.tx_d.init(self.d_params)
         return state
 
+    def extra_state(self):
+        """Discriminator + optimizer for checkpoint/resume (see
+        KEEPGANTrainer.extra_state)."""
+        return {"d_params": self.d_params, "d_opt_state": self.d_opt_state}
+
+    def load_extra_state(self, data):
+        from comfyui_keep_tpu.training.state import graft_tree
+        from comfyui_keep_tpu.utils.logger import get_root_logger
+        if not data:
+            get_root_logger().warning(
+                "resume state has no discriminator snapshot; the GAN "
+                "discriminator continues from fresh init")
+            return
+        self.d_params = graft_tree(self.d_params, data.get("d_params"))
+        self.d_opt_state = graft_tree(self.d_opt_state,
+                                      data.get("d_opt_state"))
+
     def train_step(self, state, batch, rng=None):
         """train_pipeline entry point: dispatch to the g/d alternation
         (without this the GAN model types would silently train generator-
         only through BaseTrainer.train_step)."""
         return self.gan_train_step(state, batch, current_iter=state.iter + 1)
 
-    def gan_train_step(self, state, batch, current_iter):
+    def _gan_step_fns(self):
+        """Jitted (g_step, fwd, d_step) — the hot loop runs compiled
+        programs, not op-by-op eager dispatch."""
+        if hasattr(self, "_gan_jit_cache"):
+            return self._gan_jit_cache
         import jax
-        import jax.numpy as jnp
         import optax
-        train_g = (current_iter % self.net_d_iters == 0 and
-                   current_iter >= self.net_d_init_iters)
 
         def g_loss(params, d_params, batch):
             params = self._cast_compute(params)      # bf16 compute, f32 grads
@@ -566,36 +647,58 @@ class SRGANTrainer(SRTrainer):
                 loss_dict["l_g_gan"] = l_gan
             return total, (loss_dict, out)
 
-        logs = {}
-        if train_g:
-            (loss, (logs, out)), grads = jax.value_and_grad(
-                g_loss, has_aux=True)(state.params, self.d_params, batch)
-            updates, state.opt_state = self.tx.update(grads, state.opt_state,
-                                                      state.params)
-            state.params = optax.apply_updates(state.params, updates)
-            if state.ema_params is not None:
-                state.ema_params = ema_update(state.ema_params, state.params,
-                                              self.ema_decay)
-        else:
-            out = self.forward(state.params, batch["lq"])
+        def g_step(params, opt_state, ema, d_params, batch):
+            (_, (logs, out)), grads = jax.value_and_grad(
+                g_loss, has_aux=True)(params, d_params, batch)
+            updates, opt_state = self.tx.update(grads, opt_state, params)
+            params = optax.apply_updates(params, updates)
+            if ema is not None:
+                ema = ema_update(ema, params, self.ema_decay)
+            return params, opt_state, ema, logs, out
 
-        def d_loss(dp):
+        def fwd(params, lq):
+            return self.forward(self._cast_compute(params),
+                                self._cast_compute(lq))
+
+        def d_loss(dp, real, fake):
             dp = self._cast_compute(dp)
-            real_pred = self.d_arch.apply(dp, self._cast_compute(batch["gt"]),
+            real_pred = self.d_arch.apply(dp, self._cast_compute(real),
                                           **self._d_apply_cfg)
             l_real = self.cri_gan(real_pred, True, is_disc=True)
             fake_pred = self.d_arch.apply(
-                dp, jax.lax.stop_gradient(self._cast_compute(out)),
+                dp, jax.lax.stop_gradient(self._cast_compute(fake)),
                 **self._d_apply_cfg)
             l_fake = self.cri_gan(fake_pred, False, is_disc=True)
             return l_real + l_fake, (l_real, l_fake)
 
-        if self.cri_gan is not None:
+        def d_step(d_params, d_opt_state, real, fake):
             (ld, (lr_, lf_)), dgrads = jax.value_and_grad(
-                d_loss, has_aux=True)(self.d_params)
-            dupd, self.d_opt_state = self.tx_d.update(dgrads, self.d_opt_state,
-                                                      self.d_params)
-            self.d_params = optax.apply_updates(self.d_params, dupd)
+                d_loss, has_aux=True)(d_params, real, fake)
+            dupd, d_opt_state = self.tx_d.update(dgrads, d_opt_state,
+                                                 d_params)
+            d_params = optax.apply_updates(d_params, dupd)
+            return d_params, d_opt_state, (ld, lr_, lf_)
+
+        self._gan_jit_cache = (jax.jit(g_step), jax.jit(fwd), jax.jit(d_step))
+        return self._gan_jit_cache
+
+    def gan_train_step(self, state, batch, current_iter):
+        train_g = (current_iter % self.net_d_iters == 0 and
+                   current_iter >= self.net_d_init_iters)
+        g_step, fwd, d_step = self._gan_step_fns()
+
+        logs = {}
+        if train_g:
+            state.params, state.opt_state, state.ema_params, logs, out = \
+                g_step(state.params, state.opt_state, state.ema_params,
+                       self.d_params, batch)
+            logs = dict(logs)
+        else:
+            out = fwd(state.params, batch["lq"])
+
+        if self.cri_gan is not None:
+            self.d_params, self.d_opt_state, (ld, lr_, lf_) = d_step(
+                self.d_params, self.d_opt_state, batch["gt"], out)
             logs.update({"l_d": ld, "l_d_real": lr_, "l_d_fake": lf_})
         state.iter += 1
         return state, {k: float(v) for k, v in logs.items()}
@@ -689,8 +792,8 @@ class VideoRecurrentTrainer(BaseTrainer):
         tx_flow = build_optimizer(flow_opt, schedule=self.schedule)
         mask = freeze_mask(params, (self.flow_prefix,))
         # 'frozen' label marks the flow subtree -> reduced-lr transform
-        return optax.multi_transform(
-            {"trainable": tx_main, "frozen": tx_flow}, mask)
+        return self._wrap_accum(optax.multi_transform(
+            {"trainable": tx_main, "frozen": tx_flow}, mask))
 
     def train_step(self, state, batch, rng=None):
         if self.fix_flow_iter:
@@ -767,9 +870,19 @@ class GMFlowTrainer(BaseTrainer):
         sched = optax.cosine_onecycle_schedule(
             transition_steps=self.num_steps + 10, peak_value=self.lr,
             pct_start=0.05)
-        return optax.chain(
+        self._lr_sched = sched  # logged by current_lr
+        return self._wrap_accum(optax.chain(
             optax.clip_by_global_norm(self.grad_clip),
-            optax.adamw(sched, weight_decay=self.weight_decay))
+            optax.adamw(sched, weight_decay=self.weight_decay)))
+
+    def current_lr(self, it: int) -> float:
+        """The applied LR comes from the one-cycle schedule inside adamw
+        (driven by the optimizer's own count, advancing once per
+        accumulation window) — BaseTrainer.current_lr would log the raw
+        base lr instead."""
+        if getattr(self, "_lr_sched", None) is None:
+            return super().current_lr(it)
+        return float(self._lr_sched(it // self._accum_steps()))
 
     def loss_fn(self, params, batch, rng):
         from comfyui_keep_tpu.models.gmflow import GMFlow
@@ -823,11 +936,48 @@ class StyleGAN2Trainer(BaseTrainer):
 
     def make_optimizer(self, params):
         import optax
+        if self._accum_steps() > 1:
+            # lazy R1 / path regularization issue EXTRA tx.update calls per
+            # iteration — MultiSteps' every-k gating would mis-count them;
+            # refuse loudly instead of accumulating wrong
+            raise ValueError(
+                "train.accumulate_steps is not supported for StyleGAN2Model "
+                "(lazy-regularization double updates)")
         t = self.opt.get("train", {})
         base = t.get("optim_g", {"lr": 2e-3})
         ratio = self.net_g_reg_every / (self.net_g_reg_every + 1)
         return optax.adam(base.get("lr", 2e-3) * ratio,
                           b1=0.0, b2=0.99 ** ratio)
+
+    def current_lr(self, it: int) -> float:
+        """The applied generator LR is the reg-adjusted constant
+        lr * reg_every/(reg_every+1) (stylegan2_model.py's ratio'd Adam) —
+        BaseTrainer.current_lr would log the raw base lr."""
+        t = self.opt.get("train", {})
+        base = float(t.get("optim_g", {}).get("lr", 2e-3))
+        ratio = self.net_g_reg_every / (self.net_g_reg_every + 1)
+        return base * ratio
+
+    def extra_state(self):
+        """Discriminator + optimizer + running path length for resume."""
+        return {"d_params": self.d_params, "d_opt_state": self.d_opt_state,
+                "mean_path_length": np.asarray(self.mean_path_length,
+                                               np.float32)}
+
+    def load_extra_state(self, data):
+        from comfyui_keep_tpu.training.state import graft_tree
+        from comfyui_keep_tpu.utils.logger import get_root_logger
+        if not data:
+            get_root_logger().warning(
+                "resume state has no discriminator snapshot; the GAN "
+                "discriminator continues from fresh init")
+            return
+        self.d_params = graft_tree(self.d_params, data.get("d_params"))
+        self.d_opt_state = graft_tree(self.d_opt_state,
+                                      data.get("d_opt_state"))
+        if data.get("mean_path_length") is not None:
+            self.mean_path_length = float(
+                np.asarray(data["mean_path_length"]))
 
     def make_state(self, key):
         import jax
@@ -868,67 +1018,58 @@ class StyleGAN2Trainer(BaseTrainer):
         return self.gan_train_step(state, batch,
                                    current_iter=state.iter + 1, rng=rng)
 
-    def gan_train_step(self, state, batch, current_iter, rng=None):
-        """One alternation (stylegan2_model.py:185-254): d step (+lazy R1),
-        then g step (+lazy path regularization)."""
+    def _sg2_fns(self):
+        """Jitted update pieces (d, r1, fake-synthesis, g, path, ema) — the
+        alternation's hot path runs as compiled programs. Cached on self;
+        jit retraces per noise-list structure (1 vs 2 styles), giving at
+        most two variants per piece."""
+        if hasattr(self, "_sg2_jit"):
+            return self._sg2_jit
         import jax
         import optax
         from comfyui_keep_tpu.training.losses import (g_path_regularize,
                                                       r1_penalty)
-        rng = rng if rng is not None else jax.random.PRNGKey(current_iter)
-        kd, kg, kp, kn = jax.random.split(rng, 4)
-        real = batch["gt"]
-        b = real.shape[0]
-        logs = {}
 
-        # ---- discriminator -------------------------------------------------
-        noise = self._mixing_noise(kd, b)
-        fake = jax.lax.stop_gradient(self._g_apply(state.params, noise, kn))
+        def d_step(d_params, d_opt_state, real, fake):
+            def d_loss(dp):
+                real_pred = self.disc.apply(dp, real, self.out_size)
+                fake_pred = self.disc.apply(dp, fake, self.out_size)
+                return (self.cri_gan(real_pred, True, is_disc=True) +
+                        self.cri_gan(fake_pred, False, is_disc=True))
+            l_d, grads = jax.value_and_grad(d_loss)(d_params)
+            updates, d_opt_state = self.tx_d.update(grads, d_opt_state,
+                                                    d_params)
+            return optax.apply_updates(d_params, updates), d_opt_state, l_d
 
-        def d_loss(dp):
-            real_pred = self.disc.apply(dp, real, self.out_size)
-            fake_pred = self.disc.apply(dp, fake, self.out_size)
-            return (self.cri_gan(real_pred, True, is_disc=True) +
-                    self.cri_gan(fake_pred, False, is_disc=True))
-
-        l_d, grads = jax.value_and_grad(d_loss)(self.d_params)
-        updates, self.d_opt_state = self.tx_d.update(grads, self.d_opt_state,
-                                                     self.d_params)
-        self.d_params = optax.apply_updates(self.d_params, updates)
-        logs["l_d"] = float(l_d)
-
-        if current_iter % self.net_d_reg_every == 0:
+        def r1_step(d_params, d_opt_state, real):
             def d_r1(dp):
                 return r1_penalty(
                     lambda r: self.disc.apply(dp, r, self.out_size), real) * (
                     self.r1_reg_weight / 2 * self.net_d_reg_every)
-            l_r1, grads = jax.value_and_grad(d_r1)(self.d_params)
-            updates, self.d_opt_state = self.tx_d.update(
-                grads, self.d_opt_state, self.d_params)
-            self.d_params = optax.apply_updates(self.d_params, updates)
-            logs["l_d_r1"] = float(l_r1)
+            l_r1, grads = jax.value_and_grad(d_r1)(d_params)
+            updates, d_opt_state = self.tx_d.update(grads, d_opt_state,
+                                                    d_params)
+            return optax.apply_updates(d_params, updates), d_opt_state, l_r1
 
-        # ---- generator -----------------------------------------------------
-        noise = self._mixing_noise(kg, b)
+        def fake_step(params, noise, kn):
+            import jax as _jax
+            return _jax.lax.stop_gradient(self._g_apply(params, noise, kn))
 
-        def g_loss(gp):
-            img = self._g_apply(gp, noise, kn)
-            return self.cri_gan(self.disc.apply(self.d_params, img,
-                                                self.out_size),
-                                True, is_disc=False)
+        def g_step(params, opt_state, d_params, noise, kn):
+            def g_loss(gp):
+                img = self._g_apply(gp, noise, kn)
+                return self.cri_gan(
+                    self.disc.apply(d_params, img, self.out_size),
+                    True, is_disc=False)
+            l_g, grads = jax.value_and_grad(g_loss)(params)
+            updates, opt_state = self.tx.update(grads, opt_state, params)
+            return optax.apply_updates(params, updates), opt_state, l_g
 
-        l_g, grads = jax.value_and_grad(g_loss)(state.params)
-        updates, state.opt_state = self.tx.update(grads, state.opt_state,
-                                                  state.params)
-        state.params = optax.apply_updates(state.params, updates)
-        logs["l_g"] = float(l_g)
-
-        if current_iter % self.net_g_reg_every == 0:
-            path_batch = max(1, b // 2)
-            latents = jax.random.normal(kp, (path_batch, self.num_style_feat))
-
+        def path_step(params, opt_state, latents, kp, kn, mean_path_length):
             def g_path(gp):
-                from comfyui_keep_tpu.models.stylegan2 import StyleGAN2Generator
+                from comfyui_keep_tpu.models.stylegan2 import \
+                    StyleGAN2Generator
+
                 def fake_fn(lat):
                     img, _ = StyleGAN2Generator.apply(
                         gp, [lat], self.out_size,
@@ -936,20 +1077,62 @@ class StyleGAN2Trainer(BaseTrainer):
                         randomize_noise=True, rng=kn)
                     return img
                 pen, pm, _ = g_path_regularize(fake_fn, latents, kp,
-                                               self.mean_path_length)
+                                               mean_path_length)
                 return pen * self.path_reg_weight * self.net_g_reg_every, pm
 
             (l_path, pm), grads = jax.value_and_grad(
-                g_path, has_aux=True)(state.params)
-            updates, state.opt_state = self.tx.update(grads, state.opt_state,
-                                                      state.params)
-            state.params = optax.apply_updates(state.params, updates)
+                g_path, has_aux=True)(params)
+            updates, opt_state = self.tx.update(grads, opt_state, params)
+            return optax.apply_updates(params, updates), opt_state, l_path, pm
+
+        def ema_step(ema, params):
+            return ema_update(ema, params, self.ema_decay)
+
+        self._sg2_jit = tuple(jax.jit(f) for f in (
+            d_step, r1_step, fake_step, g_step, path_step, ema_step))
+        return self._sg2_jit
+
+    def gan_train_step(self, state, batch, current_iter, rng=None):
+        """One alternation (stylegan2_model.py:185-254): d step (+lazy R1),
+        then g step (+lazy path regularization)."""
+        import jax
+        rng = rng if rng is not None else jax.random.PRNGKey(current_iter)
+        kd, kg, kp, kn = jax.random.split(rng, 4)
+        real = batch["gt"]
+        b = real.shape[0]
+        logs = {}
+        d_step, r1_step, fake_step, g_step, path_step, ema_step = \
+            self._sg2_fns()
+
+        # ---- discriminator -------------------------------------------------
+        noise = self._mixing_noise(kd, b)
+        fake = fake_step(state.params, noise, kn)
+        self.d_params, self.d_opt_state, l_d = d_step(
+            self.d_params, self.d_opt_state, real, fake)
+        logs["l_d"] = float(l_d)
+
+        if current_iter % self.net_d_reg_every == 0:
+            self.d_params, self.d_opt_state, l_r1 = r1_step(
+                self.d_params, self.d_opt_state, real)
+            logs["l_d_r1"] = float(l_r1)
+
+        # ---- generator -----------------------------------------------------
+        noise = self._mixing_noise(kg, b)
+        state.params, state.opt_state, l_g = g_step(
+            state.params, state.opt_state, self.d_params, noise, kn)
+        logs["l_g"] = float(l_g)
+
+        if current_iter % self.net_g_reg_every == 0:
+            path_batch = max(1, b // 2)
+            latents = jax.random.normal(kp, (path_batch, self.num_style_feat))
+            state.params, state.opt_state, l_path, pm = path_step(
+                state.params, state.opt_state, latents, kp, kn,
+                np.float32(self.mean_path_length))
             self.mean_path_length = float(pm)
             logs["l_g_path"] = float(l_path)
 
         if state.ema_params is not None:
-            state.ema_params = ema_update(state.ema_params, state.params,
-                                          self.ema_decay)
+            state.ema_params = ema_step(state.ema_params, state.params)
         state.iter += 1
         return state, logs
 
